@@ -1,0 +1,208 @@
+"""Deterministic synthetic source-repo corpus + exact triple oracle.
+
+Generates the pipeline input table ``(repo, path, commit, lang, content)``
+(BASELINE.json input_hint) as a pure function of ``scale`` — no RNG, no
+external data.  Contents are rendered from templates whose parameters
+also produce the exact expected ``(subj, pred, obj)`` triple set, so
+extraction precision/recall is measured against construction-time truth,
+not a second parser.
+
+Languages mirror the reference's extension allow-list families
+(/root/reference/src/config/mod.rs:30-102): py, js, rs.
+
+Entity-id convention (north_star): ``<repo>/<path>`` for file entities,
+``<repo>/<path>#<symbol>`` for symbol entities.  Raw (unlinked) objects —
+imported module names, called function names — are emitted as bare
+symbols and resolved in stage 2.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+LANGS = ("py", "js", "rs")
+EXT = {"py": "py", "js": "js", "rs": "rs"}
+
+# Files shorter than this produce no triples — generalizes the
+# reference's MIN_CHUNK_SIZE guard (/root/reference/src/storage/processor.rs:8).
+MIN_CONTENT_CHARS = 50
+
+SCALES = {
+    # scale: (n_repos, base_modules_per_repo, monorepo_factor)
+    "xs": (5, 16, 1),
+    "s": (30, 64, 4),
+    "bench": (100, 200, 150),
+}
+
+
+@dataclass(frozen=True)
+class FileRow:
+    repo: str
+    path: str
+    commit: str
+    lang: str
+    content: str
+
+
+def _commit_of(repo: str) -> str:
+    return hashlib.sha1(repo.encode()).hexdigest()
+
+
+def _render_py(repo: str, path: str, j: int, imports: list[int], nf: int, nm: int):
+    fp = f"{repo}/{path}"
+    lines = [f'"""{repo} module m{j}."""', "import os"]
+    triples = {(fp, "imports", "os")}
+    for t in imports:
+        lines.append(f"import m{t}")
+        triples.add((fp, "imports", f"m{t}"))
+    lines.append("")
+    callees = [f"f{t}_0" for t in imports] or [f"f{j}_0"]
+    for k in range(nf):
+        callee = callees[k % len(callees)]
+        lines += ["", f"def f{j}_{k}(x):", f"    y = {callee}(x)", "    return y"]
+        triples.add((fp, "defines", f"{fp}#f{j}_{k}"))
+        triples.add((fp, "calls", callee))
+    lines += ["", "", f"class C{j}:"]
+    triples.add((fp, "defines", f"{fp}#C{j}"))
+    for k in range(nm):
+        lines += [f"    def m{k}(self):", f"        v = f{j}_0(self)", "        return v"]
+        triples.add((f"{fp}#C{j}", "contains", f"{fp}#m{k}"))
+        triples.add((fp, "calls", f"f{j}_0"))
+    return "\n".join(lines) + "\n", triples
+
+
+def _render_js(repo: str, path: str, j: int, imports: list[int], nf: int, nm: int):
+    fp = f"{repo}/{path}"
+    lines = [f"// {repo} module m{j}"]
+    triples = set()
+    for t in imports:
+        lines.append(f"import {{ f{t}_0 }} from './m{t}.js';")
+        triples.add((fp, "imports", f"m{t}"))
+    callees = [f"f{t}_0" for t in imports] or [f"f{j}_0"]
+    for k in range(nf):
+        callee = callees[k % len(callees)]
+        lines += ["", f"function f{j}_{k}(x) {{", f"  const y = {callee}(x);", "  return y;", "}"]
+        triples.add((fp, "defines", f"{fp}#f{j}_{k}"))
+        triples.add((fp, "calls", callee))
+    lines += ["", f"class C{j} {{"]
+    triples.add((fp, "defines", f"{fp}#C{j}"))
+    for k in range(nm):
+        lines += [f"  m{k}(a) {{", f"    const v = f{j}_0(a);", "    return v;", "  }"]
+        triples.add((f"{fp}#C{j}", "contains", f"{fp}#m{k}"))
+        triples.add((fp, "calls", f"f{j}_0"))
+    lines.append("}")
+    return "\n".join(lines) + "\n", triples
+
+
+def _render_rs(repo: str, path: str, j: int, imports: list[int], nf: int, nm: int):
+    fp = f"{repo}/{path}"
+    lines = [f"// {repo} module m{j}"]
+    triples = set()
+    for t in imports:
+        lines.append(f"use crate::m{t};")
+        triples.add((fp, "imports", f"m{t}"))
+    callees = [f"f{t}_0" for t in imports] or [f"f{j}_0"]
+    for k in range(nf):
+        callee = callees[k % len(callees)]
+        lines += [
+            "",
+            f"fn f{j}_{k}(x: i64) -> i64 {{",
+            f"    let y = {callee}(x);",
+            "    y",
+            "}",
+        ]
+        triples.add((fp, "defines", f"{fp}#f{j}_{k}"))
+        triples.add((fp, "calls", callee))
+    lines += ["", f"struct C{j} {{}}", f"impl C{j} {{"]
+    triples.add((fp, "defines", f"{fp}#C{j}"))
+    for k in range(nm):
+        lines += [f"    fn m{k}(&self) -> i64 {{", f"        let v = f{j}_0(0);", "        v", "    }"]
+        triples.add((f"{fp}#C{j}", "contains", f"{fp}#m{k}"))
+        triples.add((fp, "calls", f"f{j}_0"))
+    lines.append("}")
+    return "\n".join(lines) + "\n", triples
+
+
+_RENDER = {"py": _render_py, "js": _render_js, "rs": _render_rs}
+
+# Chunker / guard edge-case files (FIXTURES.md §1), added to repo 0.
+# All are constructed to yield zero triples: the first two are under the
+# 50-char guard, the others contain no extractable patterns except
+# notrail.py which defines one function and lacks a trailing newline.
+_EDGE_FILES = [
+    ("src/tiny.py", "import os\n# pad\n"),  # <50 chars => guard drops it
+    ("src/ws.py", " " * 60 + "\n"),  # whitespace only
+    ("src/exact1000.py", "# pad\n" + "#" + "x" * 992 + "\n"),  # exactly 1000 chars
+    ("src/multibyte.py", "# 日本語テキスト" + "é" * 1200 + "\n"),  # multi-byte straddle
+    (
+        "src/notrail.py",
+        '"""no trailing newline, over fifty chars of content."""\ndef f_nt(x):\n    return x',
+    ),
+]
+
+_DUP_CONTENT = '"""shared vendored util (identical across repos)."""\n\n\ndef dup_fn(x):\n    return x\n'
+
+
+def _edge_triples(repo: str):
+    out = set()
+    fp = f"{repo}/src/notrail.py"
+    out.add((fp, "defines", f"{fp}#f_nt"))
+    return out
+
+
+def generate_corpus(scale: str = "xs") -> tuple[list[FileRow], set[tuple[str, str, str]]]:
+    """Return (file rows, exact expected triple set) for a scale."""
+    n_repos, base_modules, mono_factor = SCALES[scale]
+    rows: list[FileRow] = []
+    expected: set[tuple[str, str, str]] = set()
+    for i in range(n_repos):
+        repo = f"org{i % 7}/proj{i}"
+        lang = LANGS[i % 3]
+        commit = _commit_of(repo)
+        n_modules = base_modules * (mono_factor if i == 0 else 1)
+        for j in range(n_modules):
+            path = f"src/m{j}.{EXT[lang]}"
+            imports = sorted({(j + 1) % n_modules, (j * 2 + 3) % n_modules} - {j}) if n_modules > 1 else []
+            nf = 2 + (j % 3)
+            nm = 1 + (j % 2)
+            content, triples = _RENDER[lang](repo, path, j, imports, nf, nm)
+            rows.append(FileRow(repo, path, commit, lang, content))
+            expected |= triples
+        if i == 0:
+            for path, content in _EDGE_FILES:
+                rows.append(FileRow(repo, path, commit, "py", content))
+            expected |= _edge_triples(repo)
+        if i % 3 == 0:
+            rows.append(FileRow(repo, "src/dup_shared.py", commit, "py", _DUP_CONTENT))
+            fp = f"{repo}/src/dup_shared.py"
+            expected.add((fp, "defines", f"{fp}#dup_fn"))
+    return rows, expected
+
+
+def corpus_df(spark, scale: str = "xs"):
+    from sema_spark.schemas import REPOS
+
+    rows, _ = generate_corpus(scale)
+    return spark.createDataFrame([r.__dict__ for r in rows], REPOS)
+
+
+def expected_triples_df(spark, scale: str = "xs"):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    _, expected = generate_corpus(scale)
+    schema = StructType(
+        [
+            StructField("subj", StringType(), False),
+            StructField("pred", StringType(), False),
+            StructField("obj", StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(sorted(expected), schema)
+
+
+def write_corpus(spark, out_dir: str, scale: str = "xs") -> None:
+    """Materialize the corpus as a parquet table partitioned like the real
+    input would be (repo-hash buckets, not repo — a monorepo must not own
+    a whole partition)."""
+    corpus_df(spark, scale).write.mode("overwrite").parquet(out_dir)

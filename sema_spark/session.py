@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults mirror what we would ship for a 1000-executor cluster run via
+``spark-submit --py-files``: AQE on (runtime re-plan + skew-join
+splitting), Arrow exchange for pandas UDFs, sensible shuffle
+parallelism.  In the sandbox we run ``local[N]`` but nothing here is
+local-mode-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for the sandbox (local[32], 128 GiB). On a real cluster these
+# come from spark-submit conf; shuffle.partitions should be ~2-3x total
+# cores and is superseded by AQE coalescing anyway.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Arrow batch size for pandas UDFs: big enough to amortize the
+    # Python round-trip, small enough to bound executor memory.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Parquet scan sizing: 128 MB splits keep ~100TB / 1000 executors at
+    # a healthy ~800k tasks; at sandbox scale it's irrelevant but harmless.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "sema_spark",
+    cores: int | str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` sets the local master parallelism; default comes from
+    ``$SPARK_GRAFT_CPUS`` (driver contract) or ``*``.  On a cluster this
+    function is still valid: ``master`` is only set when not already
+    configured by spark-submit.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    if not os.environ.get("SPARK_MASTER_SET"):
+        builder = builder.master(f"local[{cores}]")
+    for k, v in {**_DEFAULTS, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
