@@ -1,0 +1,210 @@
+"""Checkpointed incremental stage execution (SURVEY J1/S5/S7/S8).
+
+Generalizes the reference's incremental indexing loop
+(/root/reference/src/storage/mod.rs:30-52): per file, compare the stored
+content hash; unchanged → skip, changed → supersede old output, new →
+process.  The reference does this as N sequential point lookups; we do
+ONE left-anti join against the current checkpoint.
+
+Crash-safety contract (reference ordering, /root/reference/src/storage/mod.rs:59-67):
+**data lands before its checkpoint row.**  We make that scale-safe with a
+log-structured layout — every write is append-only, never a rewrite:
+
+    <base>/<stage>/data/run_id=<rid>/*.parquet     (appends)
+    <base>/<stage>/checkpoint/*.parquet            (appends)
+    <base>/<stage>/lineage/*.parquet               (appends)
+
+A data row is *visible* only if the current checkpoint references its
+``(repo, path, content_sha, run_id)``.  Consequences:
+
+* crash after data write but before checkpoint append → orphan rows are
+  invisible; the rerun re-processes those files (re-process, never skip);
+* a changed file gets a new checkpoint row from a later run which wins
+  ``max_by(run_id)`` → old output rows become invisible (upsert S8);
+* deletion (S7) is a tombstone checkpoint row, no data touched.
+
+This is Iceberg snapshot semantics hand-rolled over plain parquet; on a
+cluster with an Iceberg catalog the same API maps onto MERGE INTO +
+snapshot reads, but nothing here requires it.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sema_spark.schemas import CHECKPOINT, LINEAGE
+
+TOMBSTONE = "__DELETED__"
+
+_CKPT_RUN_SCHEMA = "stage string, repo string, path string, content_sha string, run_id string"
+
+
+def new_run_id() -> str:
+    """Sortable run id: UTC timestamp prefix + entropy suffix."""
+    return time.strftime("%Y%m%dT%H%M%S", time.gmtime()) + "-" + uuid.uuid4().hex[:8]
+
+
+def _ckpt_dir(base: str, stage: str) -> str:
+    return f"{base}/{stage}/checkpoint"
+
+
+def _data_dir(base: str, stage: str) -> str:
+    return f"{base}/{stage}/data"
+
+
+def _lineage_dir(base: str, stage: str) -> str:
+    return f"{base}/{stage}/lineage"
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def read_checkpoint_log(spark: SparkSession, base: str, stage: str) -> DataFrame:
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        CHECKPOINT.fields + [StructField("run_id", StringType(), False)]
+    )
+    return _read_or_empty(spark, _ckpt_dir(base, stage), schema)
+
+
+def current_checkpoint(spark: SparkSession, base: str, stage: str) -> DataFrame:
+    """Latest (content_sha, run_id) per file — last writer wins by sortable
+    run_id.  One row per live file; tombstones excluded."""
+    log = read_checkpoint_log(spark, base, stage)
+    latest = log.groupBy("stage", "repo", "path").agg(
+        F.max_by(F.struct("content_sha", "run_id"), F.col("run_id")).alias("cur")
+    )
+    return latest.select(
+        "stage", "repo", "path", F.col("cur.content_sha").alias("content_sha"), F.col("cur.run_id").alias("run_id")
+    ).filter(F.col("content_sha") != TOMBSTONE)
+
+
+def pending_files(src: DataFrame, ckpt_current: DataFrame) -> DataFrame:
+    """J1: source rows not yet processed at their current content.
+
+    left-anti on (repo, path, content_sha) — covers both brand-new files
+    (no checkpoint row) and changed files (sha mismatch).  Unchanged
+    files drop out, which is the reference's 'skip' branch
+    (/root/reference/src/storage/mod.rs:40-41).
+    """
+    keys = ["repo", "path", "content_sha"]
+    return src.join(ckpt_current.select(*keys), on=keys, how="left_anti")
+
+
+@dataclass
+class StageRun:
+    stage: str
+    run_id: str
+    input_files: int
+    output_rows: int
+    skipped: bool
+
+
+def run_incremental_stage(
+    spark: SparkSession,
+    src: DataFrame,
+    stage: str,
+    base: str,
+    transform,
+    run_id: str | None = None,
+) -> StageRun:
+    """Execute one checkpointed stage increment.
+
+    ``src`` must carry (repo, path, content_sha) plus whatever
+    ``transform`` needs; ``transform(pending_df)`` must return rows that
+    keep (repo, path, content_sha).  Write order: data → lineage →
+    checkpoint (crash between any two is safe, see module docstring).
+    """
+    run_id = run_id or new_run_id()
+    ckpt = current_checkpoint(spark, base, stage)
+    pending = pending_files(src, ckpt)
+    # The checkpoint keys of this increment (small: one row per file).
+    files = pending.select("repo", "path", "content_sha").distinct()
+    n_files = files.count()
+    if n_files == 0:
+        return StageRun(stage, run_id, 0, 0, skipped=True)
+
+    out = transform(pending).withColumn("run_id", F.lit(run_id))
+    out = out.persist()
+    try:
+        out.write.mode("append").partitionBy("run_id").parquet(_data_dir(base, stage))
+        n_rows = out.count()
+        # Per-partition lineage rows (A3 generalized; north rule).
+        lineage = (
+            out.groupBy(F.spark_partition_id().cast("long").alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .select(
+                F.lit(stage).alias("stage"),
+                "partition_id",
+                "rows",
+                F.lit(run_id).alias("run_id"),
+            )
+        )
+        spark.createDataFrame(lineage.collect(), LINEAGE).write.mode("append").parquet(
+            _lineage_dir(base, stage)
+        )
+        # Checkpoint LAST — only now do this run's rows become visible.
+        files.select(
+            F.lit(stage).alias("stage"), "repo", "path", "content_sha", F.lit(run_id).alias("run_id")
+        ).write.mode("append").parquet(_ckpt_dir(base, stage))
+    finally:
+        out.unpersist()
+    return StageRun(stage, run_id, n_files, n_rows, skipped=False)
+
+
+def read_stage_output(spark: SparkSession, base: str, stage: str) -> DataFrame:
+    """Current snapshot: data rows referenced by the live checkpoint.
+
+    left-semi on (repo, path, content_sha, run_id) — orphans from
+    crashed runs and superseded rows from re-indexed files vanish here.
+    """
+    data = spark.read.parquet(_data_dir(base, stage))
+    ckpt = current_checkpoint(spark, base, stage)
+    keys = ["repo", "path", "content_sha", "run_id"]
+    return data.join(ckpt.select(*keys), on=keys, how="left_semi")
+
+
+def delete_files(
+    spark: SparkSession, base: str, stage: str, paths: DataFrame, run_id: str | None = None
+) -> None:
+    """S7 delete-by-predicate as tombstone appends; no data rewrite.
+
+    ``paths``: DataFrame with (repo, path).
+    """
+    run_id = run_id or new_run_id()
+    paths.select(
+        F.lit(stage).alias("stage"),
+        "repo",
+        "path",
+        F.lit(TOMBSTONE).alias("content_sha"),
+        F.lit(run_id).alias("run_id"),
+    ).write.mode("append").parquet(_ckpt_dir(base, stage))
+
+
+def read_lineage(spark: SparkSession, base: str, stage: str) -> DataFrame:
+    return _read_or_empty(spark, _lineage_dir(base, stage), LINEAGE)
+
+
+def compact(spark: SparkSession, base: str, stage: str) -> None:
+    """Maintenance: rewrite the log-structured stage into a single live
+    snapshot (one run), dropping superseded/orphan rows.  Not part of the
+    hot path; the analogue of Iceberg's rewrite_data_files."""
+    live = read_stage_output(spark, base, stage)
+    ckpt = current_checkpoint(spark, base, stage)
+    rid = new_run_id()
+    live_new = live.withColumn("run_id", F.lit(rid))
+    live_new.write.mode("overwrite").partitionBy("run_id").parquet(_data_dir(base, stage) + "_compact")
+    ckpt.withColumn("run_id", F.lit(rid)).write.mode("overwrite").parquet(
+        _ckpt_dir(base, stage) + "_compact"
+    )
+    # atomic-ish swap left to the catalog layer in a real deployment
