@@ -1,0 +1,121 @@
+"""MinHash signatures and LSH banding — pure built-in higher-order
+functions, entirely JVM-side.
+
+Replaces the reference's Lance ANN index
+(/root/reference/src/storage/lance_indexer.rs:107-141) with a
+shuffle-friendly blocking scheme: token shingles → k-permutation minhash
+signature → banded hashes → equi-join on (band_idx, band_hash).
+Candidate pairs then get exact re-ranking (cosine or Jaccard), so LSH
+only affects recall, never precision.
+
+Permutations are ``((a_i * h(t) + b_i) mod P) mod 2^31`` with a single
+base ``xxhash64`` per token; coefficients come from a fixed LCG seed so
+signatures are stable across runs/processes (determinism is load-bearing:
+triple parity is judged set-wise).  Bounds chosen so no 64-bit overflow:
+h < 2**31, a,b < 2**31 ⇒ a*h+b < 2**62.  The final ``mod 2^31`` fold is
+essential: a*h spans only [0, 2P), so values mod P alone are NOT
+min-wise uniform (empirically 3/64 signature agreement at true J=0.78;
+folding restores ~J·k agreement — see tests/test_functions.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P = (1 << 61) - 1  # Mersenne prime
+_H_SPACE = 1 << 31
+
+NUM_PERM = 64
+LSH_BANDS = 16  # 16 bands x 4 rows; s-curve threshold ~ (1/16)^(1/4) ≈ 0.5
+
+
+def _coefficients(num_perm: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    # fixed LCG (MMIX constants) — deterministic, no RNG state dependency
+    state = seed
+    out = []
+    for _ in range(2 * num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 63) - 1)
+        out.append(state % (_H_SPACE - 1) + 1)
+    return out[:num_perm], out[num_perm:]
+
+
+def tokenize(col: Column | str, pattern: str = "[^a-z0-9]+") -> Column:
+    """Lowercased word-token set (distinct, no empties)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.array_remove(F.array_distinct(F.split(F.lower(col), pattern)), "")
+
+
+def char_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct character k-shingles via sequence+transform (JVM-side)."""
+    col = F.lower(F.col(col) if isinstance(col, str) else col)
+    n = F.greatest(F.length(col) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.filter(
+            F.transform(F.sequence(F.lit(1), n), lambda i: col.substr(i, F.lit(k))),
+            lambda s: F.length(s) == k,
+        )
+    )
+
+
+def minhash_signature(tokens: Column, num_perm: int = NUM_PERM) -> Column:
+    """array<bigint> minhash signature of a token array."""
+    a_co, b_co = _coefficients(num_perm)
+    base = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(_H_SPACE)))
+    pairs = F.arrays_zip(
+        F.array(*[F.lit(a) for a in a_co]).alias("a"),
+        F.array(*[F.lit(b) for b in b_co]).alias("b"),
+    )
+    return F.transform(
+        pairs,
+        lambda p: F.coalesce(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(F.pmod(p["a"] * h + p["b"], F.lit(_P)), F.lit(_H_SPACE)),
+                )
+            ),
+            F.lit(_P),  # empty token set → sentinel signature value
+        ),
+    )
+
+
+def lsh_bands(sig: Column, bands: int = LSH_BANDS, num_perm: int = NUM_PERM) -> Column:
+    """array<struct<band:int, bh:bigint>> — hash per signature band."""
+    rows = num_perm // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda j: F.struct(
+            j.cast("int").alias("band"),
+            F.xxhash64(F.concat_ws("_", F.slice(sig, j * rows + 1, rows)), j).alias("bh"),
+        ),
+    )
+
+
+def with_minhash(
+    df: DataFrame,
+    text_col: str = "content",
+    shingle_words: bool = True,
+    num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    tokens = tokenize(text_col) if shingle_words else char_shingles(text_col)
+    return df.withColumn("mh_sig", minhash_signature(tokens, num_perm)).withColumn(
+        "mh_bands", lsh_bands(F.col("mh_sig"), bands, num_perm)
+    )
+
+
+def explode_bands(df: DataFrame, id_cols: list[str]) -> DataFrame:
+    """(id..., band, bh) rows — the LSH bucket join key."""
+    return df.select(*id_cols, F.explode("mh_bands").alias("b")).select(
+        *id_cols, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Signature agreement rate — unbiased Jaccard estimate."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.size(sig_a)

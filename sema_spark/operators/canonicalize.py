@@ -1,0 +1,133 @@
+"""Stage 3 — canonicalization via connected components.
+
+Generalizes the reference's exact-hash identity dedup
+(/root/reference/src/storage/mod.rs:40-47, group-by-file dedup
+/root/reference/src/tui/engine.rs:156-174) to equivalence-class merging
+(north_star stage 3): entities are equivalent when they share a merge
+key — ``content_sha`` for file entities, ``content_sha#normalized(symbol)``
+for symbol entities — and transitively closed into components.
+
+Connected components is label propagation by iterative join
+(small-star flavored): comp(v) ← min(comp(v), min over neighbors
+comp(u)), to fixpoint.  Every iteration ends in ``localCheckpoint`` to
+cut the lineage chain (iterative Catalyst plans otherwise grow without
+bound).  Diameter is tiny here (key groups form stars), so iterations ≈
+O(log*) in practice; a GraphFrames ``connectedComponents`` drop-in is
+noted for clusters that ship it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """edges(a string, b string) → (id string, component string).
+
+    Component id = lexicographic min node id in the component.
+    Includes singleton handling for any id appearing in edges.
+    """
+    e = (
+        edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .persist()
+    )
+    comp = (
+        e.select(F.col("x").alias("id"))
+        .union(e.select(F.col("y").alias("id")))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # messages: each node offers its component id to its neighbors
+        msgs = (
+            e.join(comp, e["x"] == comp["id"], "inner")
+            .select(F.col("y").alias("id"), F.col("component"))
+        )
+        new_comp = (
+            comp.select("id", "component")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    e.unpersist()
+    return comp
+
+
+def _normalize_symbol(col):
+    return F.lower(F.regexp_replace(col, "_", ""))
+
+
+def merge_key(nodes: DataFrame) -> DataFrame:
+    """One merge key per node (north_star: normalized FQN + content sha)."""
+    key = F.when(
+        F.col("kind") == "symbol",
+        F.concat_ws("#", F.col("content_sha"), _normalize_symbol(F.col("symbol"))),
+    ).otherwise(F.col("content_sha"))
+    return nodes.withColumn("merge_key", key)
+
+
+def canonicalize_nodes(nodes: DataFrame) -> DataFrame:
+    """NODES(-canonical_id) → NODES with canonical_id.
+
+    Star edges per merge key (hub = min entity id in the key group) feed
+    generic connected components; canonical id = component min.  External
+    entities (kind='external' / no sha) canonicalize to themselves.
+    """
+    keyed = merge_key(nodes)
+    hubs = keyed.groupBy("merge_key").agg(F.min("entity_id").alias("hub"))
+    star_edges = (
+        keyed.join(hubs, "merge_key")
+        .filter(F.col("entity_id") != F.col("hub"))
+        .select(F.col("entity_id").alias("a"), F.col("hub").alias("b"))
+    )
+    comp = connected_components(star_edges)
+    out = keyed.join(comp, keyed["entity_id"] == comp["id"], "left").select(
+        keyed["entity_id"],
+        F.coalesce(F.col("component"), keyed["entity_id"]).alias("canonical_id"),
+        "kind",
+        keyed["repo"],
+        keyed["path"],
+        "symbol",
+        "content_sha",
+    )
+    return out
+
+
+def canonical_edges(linked_triples: DataFrame, canonical_nodes: DataFrame) -> DataFrame:
+    """Rewrite linked triples onto canonical ids → EDGES."""
+    cmap = canonical_nodes.select("entity_id", "canonical_id")
+    src_map = cmap.withColumnRenamed("entity_id", "subj").withColumnRenamed(
+        "canonical_id", "src_canon"
+    )
+    dst_map = cmap.withColumnRenamed("entity_id", "obj_id").withColumnRenamed(
+        "canonical_id", "dst_canon"
+    )
+    return (
+        linked_triples.join(src_map, "subj", "left")
+        .join(dst_map, "obj_id", "left")
+        .select(
+            F.coalesce("src_canon", "subj").alias("src"),
+            "pred",
+            F.coalesce("dst_canon", "obj_id").alias("dst"),
+            "repo",
+            "path",
+            "line",
+        )
+        .distinct()
+    )

@@ -1,0 +1,104 @@
+"""W1 — overlapping sliding-window chunker with line provenance.
+
+Byte-exact semantic parity with the reference
+(/root/reference/src/storage/processor.rs:31-85): 1000-byte windows,
+100-byte overlap, window end snapped back to a UTF-8 char boundary and
+then to just-after the last newline; a chunk is kept if ≥ 50 bytes or it
+is the file's first; files under 50 bytes produce nothing; line numbers
+count newlines before/inside the window.  Chunk id = "{path}:{idx}"
+(processor.rs:62).
+
+The char-window walk is inherently per-string, so it runs inside an
+Arrow-batched ``mapInPandas`` (one Python hop for the whole stage, no
+per-row round trips); everything before/after stays in the JVM.
+``chunk_python`` is the plain-Python reference implementation used by
+parity and property tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+CHUNK_SIZE = 1000
+OVERLAP_SIZE = 100
+MIN_CHUNK_SIZE = 50
+
+
+def _is_char_boundary(b: bytes, i: int) -> bool:
+    return i == len(b) or (b[i] & 0xC0) != 0x80
+
+
+def chunk_python(content: str) -> list[tuple[int, int, int, str]]:
+    """→ [(chunk_idx, start_line, end_line, chunk_content)] — reference
+    algorithm, byte offsets, for parity tests and the UDF core."""
+    out: list[tuple[int, int, int, str]] = []
+    b = content.encode("utf-8")
+    if len(b) < MIN_CHUNK_SIZE:
+        return out
+    start = 0
+    chunk_id = 0
+    n = len(b)
+    while start < n:
+        end = min(start + CHUNK_SIZE, n)
+        safe_end = end
+        while safe_end > start and not _is_char_boundary(b, safe_end):
+            safe_end -= 1
+        if safe_end < n:
+            pos = b.rfind(b"\n", start, safe_end)
+            if pos != -1:
+                safe_end = pos + 1
+        chunk = b[start:safe_end]
+        if len(chunk) >= MIN_CHUNK_SIZE or chunk_id == 0:
+            start_line = b.count(b"\n", 0, start) + 1
+            end_line = start_line + chunk.count(b"\n")
+            out.append((chunk_id, start_line, end_line, chunk.decode("utf-8")))
+            chunk_id += 1
+        next_start = max(safe_end - OVERLAP_SIZE, 0)
+        # Deviation from the reference: processor.rs:72 can place the
+        # overlap start mid-UTF-8-char, which panics Rust's slice (latent
+        # reference bug, surfaced by hypothesis).  We snap forward to the
+        # next char boundary (slightly shrinking the overlap) instead.
+        while next_start < n and not _is_char_boundary(b, next_start):
+            next_start += 1
+        start = safe_end if next_start <= start else next_start
+        if start >= n:
+            break
+    return out
+
+
+_CHUNK_SCHEMA = (
+    "id string, repo string, path string, chunk_idx long, "
+    "start_line long, end_line long, content string"
+)
+
+
+def chunk_files(df: DataFrame) -> DataFrame:
+    """(repo, path, …, content) → CHUNKS rows (1 file → N chunks)."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("id", "repo", "path", "chunk_idx", "start_line", "end_line", "content")}
+            for repo, path, content in zip(pdf["repo"], pdf["path"], pdf["content"]):
+                if content is None:
+                    continue
+                for idx, sl, el, text in chunk_python(content):
+                    rows["id"].append(f"{path}:{idx}")
+                    rows["repo"].append(repo)
+                    rows["path"].append(path)
+                    rows["chunk_idx"].append(idx)
+                    rows["start_line"].append(sl)
+                    rows["end_line"].append(el)
+                    rows["content"].append(text)
+            yield pd.DataFrame(rows)
+
+    return df.select("repo", "path", "content").mapInPandas(run, schema=_CHUNK_SCHEMA)
+
+
+def chunk_and_embed(df: DataFrame) -> DataFrame:
+    """Chunk then encode — the reference's index path (chunk → 384-dim
+    vector per chunk, /root/reference/src/storage/lance_indexer.rs:30-105)."""
+    from sema_spark.functions.encoder import with_embedding
+
+    return with_embedding(chunk_files(df), text_col="content")

@@ -1,0 +1,202 @@
+"""Stage 2 — entity linking.
+
+Resolves raw symbol objects (``calls``/``imports`` targets emitted by
+stage 1) to entity ids.  Generalizes the reference's two lookup paths:
+
+* the path→hash point lookup (/root/reference/src/storage/lance_indexer.rs:165-189)
+  becomes a **broadcast alias-dictionary equi-join** (SURVEY J3);
+* the embedding nearest-neighbor search
+  (/root/reference/src/storage/lance_indexer.rs:107-141) becomes
+  **MinHash-LSH blocking + cosine re-rank top-1** (SURVEY J2/W4) for
+  symbols with no exact alias match.
+
+Resolution is repo-scoped: the join key is ``(repo, alias)`` so on a
+cluster both sides co-partition by repo and a monorepo's hot key is
+handled by AQE skew-join; ``broadcast=True`` (default) additionally
+hints the dictionary broadcast, correct whenever the alias dict fits in
+executor memory (symbol tables are ~1e3 smaller than content bytes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sema_spark.functions.encoder import encode_text
+from sema_spark.functions.minhash import explode_bands, with_minhash
+from sema_spark.functions.vector import cosine
+
+LINK_PREDS = ("calls", "imports")
+COSINE_THRESHOLD = 0.55
+
+
+def build_nodes(triples: DataFrame) -> DataFrame:
+    """Entity nodes from stage-1 triples: file nodes + defined symbols."""
+    files = (
+        triples.select("repo", "path", "content_sha")
+        .distinct()
+        .select(
+            F.concat_ws("/", "repo", "path").alias("entity_id"),
+            F.lit("file").alias("kind"),
+            "repo",
+            "path",
+            F.lit(None).cast("string").alias("symbol"),
+            "content_sha",
+        )
+    )
+    sym_objs = triples.filter(F.col("pred").isin("defines", "contains")).select(
+        F.col("obj").alias("entity_id"), "repo", "path", "content_sha"
+    )
+    cls_subjs = triples.filter(
+        (F.col("pred") == "contains") & F.col("subj").contains("#")
+    ).select(F.col("subj").alias("entity_id"), "repo", "path", "content_sha")
+    symbols = (
+        sym_objs.union(cls_subjs)
+        .distinct()
+        .select(
+            "entity_id",
+            F.lit("symbol").alias("kind"),
+            "repo",
+            "path",
+            F.element_at(F.split("entity_id", "#"), -1).alias("symbol"),
+            "content_sha",
+        )
+    )
+    return files.unionByName(symbols)
+
+
+def build_alias_dict(nodes: DataFrame) -> DataFrame:
+    """(repo, alias, entity_id, kind): symbol name for symbol entities,
+    module stem for file entities (`src/m3.py` → `m3`)."""
+    sym = nodes.filter(F.col("kind") == "symbol").select(
+        "repo", F.col("symbol").alias("alias"), "entity_id", "kind"
+    )
+    mod = nodes.filter(F.col("kind") == "file").select(
+        "repo",
+        F.regexp_extract("path", r"([^/]+)\.\w+$", 1).alias("alias"),
+        "entity_id",
+        "kind",
+    )
+    return sym.union(mod).filter(F.col("alias") != "")
+
+
+def _pick_best_alias(joined: DataFrame, id_cols: list[str]) -> DataFrame:
+    """Deterministic tie-break when one alias maps to several entities:
+    prefer kind matching the predicate (imports→file, calls→symbol),
+    then lexicographic min entity id."""
+    pref = F.when(
+        (F.col("pred") == "imports") & (F.col("cand_kind") == "file"), 0
+    ).when((F.col("pred") == "calls") & (F.col("cand_kind") == "symbol"), 0).otherwise(1)
+    w = Window.partitionBy(*id_cols).orderBy(pref, F.col("cand_id"))
+    return joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def link_triples(
+    triples: DataFrame,
+    nodes: DataFrame | None = None,
+    broadcast: bool = True,
+    fuzzy: bool = True,
+    cosine_threshold: float = COSINE_THRESHOLD,
+) -> DataFrame:
+    """TRIPLES → LINKED_TRIPLES (adds obj_id, link_method, link_score)."""
+    nodes = nodes if nodes is not None else build_nodes(triples)
+    alias = build_alias_dict(nodes).select(
+        "repo",
+        "alias",
+        F.col("entity_id").alias("cand_id"),
+        F.col("kind").alias("cand_kind"),
+    )
+    alias_j = F.broadcast(alias) if broadcast else alias
+
+    passthrough = triples.filter(~F.col("pred").isin(*LINK_PREDS)).select(
+        "*",
+        F.col("obj").alias("obj_id"),
+        F.lit("exact").alias("link_method"),
+        F.lit(1.0).alias("link_score"),
+    )
+    raw = triples.filter(F.col("pred").isin(*LINK_PREDS))
+
+    key_cols = ["subj", "pred", "obj", "repo", "path", "commit", "line", "content_sha"]
+    joined = raw.join(
+        alias_j, on=[raw["repo"] == alias_j["repo"], raw["obj"] == alias_j["alias"]], how="left"
+    ).select(*[raw[c] for c in key_cols], "cand_id", "cand_kind")
+    resolved = _pick_best_alias(joined.filter(F.col("cand_id").isNotNull()), key_cols).select(
+        *key_cols,
+        F.col("cand_id").alias("obj_id"),
+        F.lit("alias").alias("link_method"),
+        F.lit(1.0).alias("link_score"),
+    )
+    unresolved = joined.filter(F.col("cand_id").isNull()).select(*key_cols).distinct()
+
+    if fuzzy:
+        fuzzy_links = _fuzzy_link(unresolved, alias, cosine_threshold)
+        unresolved = unresolved.join(
+            fuzzy_links.select("repo", "obj", F.lit(1).alias("_hit")), on=["repo", "obj"], how="left_anti"
+        )
+        fuzzy_resolved = (
+            triples.filter(F.col("pred").isin(*LINK_PREDS))
+            .join(fuzzy_links, on=["repo", "obj"], how="inner")
+            .select(
+                *key_cols,
+                "obj_id",
+                F.lit("cosine").alias("link_method"),
+                F.col("score").alias("link_score"),
+            )
+        )
+    else:
+        fuzzy_resolved = None
+
+    external = unresolved.select(
+        *key_cols,
+        F.concat(F.lit("ext:"), F.col("obj")).alias("obj_id"),
+        F.lit("unresolved").alias("link_method"),
+        F.lit(None).cast("double").alias("link_score"),
+    )
+    out = passthrough.unionByName(resolved).unionByName(external)
+    if fuzzy_resolved is not None:
+        out = out.unionByName(fuzzy_resolved)
+    return out
+
+
+def _fuzzy_link(unresolved: DataFrame, alias: DataFrame, threshold: float) -> DataFrame:
+    """MinHash-LSH blocking + hashing-encoder cosine re-rank (SURVEY J2).
+
+    Operates on the *distinct* (repo, raw symbol) set, not per-triple —
+    the candidate problem shrinks by the mention multiplicity before any
+    shuffle.  Returns (repo, obj, obj_id, score): best candidate per raw
+    symbol with score ≥ threshold.
+    """
+    def norm(col):
+        # identifier normalization: case/style separators are noise for
+        # symbol identity (computeTotal ≡ compute_total ≡ ComputeTotal)
+        return F.regexp_replace(F.lower(col), "[_\\-]", "")
+
+    qs = (
+        unresolved.select("repo", "obj")
+        .distinct()
+        .withColumn("_n", norm(F.col("obj")))
+        .transform(lambda d: with_minhash(d, text_col="_n", shingle_words=False))
+        .withColumn("q_emb", encode_text(F.col("_n")))
+    )
+    cands = (
+        alias.select("repo", "alias", F.col("cand_id"))
+        .distinct()
+        .withColumn("_n", norm(F.col("alias")))
+        .transform(lambda d: with_minhash(d, text_col="_n", shingle_words=False))
+        .withColumn("c_emb", encode_text(F.col("_n")))
+    )
+    q_bands = explode_bands(qs, ["repo", "obj", "q_emb"])
+    c_bands = explode_bands(cands, ["repo", "alias", "cand_id", "c_emb"])
+    pairs = (
+        q_bands.join(c_bands, on=["repo", "band", "bh"], how="inner")
+        .select("repo", "obj", "cand_id", "q_emb", "c_emb")
+        .distinct()
+        .withColumn("score", cosine("q_emb", "c_emb"))
+        .filter(F.col("score") >= threshold)
+    )
+    w = Window.partitionBy("repo", "obj").orderBy(F.desc("score"), F.col("cand_id"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("repo", "obj", F.col("cand_id").alias("obj_id"), "score")
+    )

@@ -1,0 +1,176 @@
+"""The four-stage knowledge-graph construction pipeline (north_star).
+
+    repos (repo, path, commit, lang, content)
+      │  stage 1 — triples      incremental  (per-file checkpoint, J1)
+      ▼
+    triples (subj, pred, obj, provenance, content_sha)
+      │  stage 2 — linked       snapshot     (alias join J3 + LSH/cosine J2)
+      ▼
+    linked_triples (+ obj_id, link_method, link_score)
+      │  stage 3 — nodes        snapshot     (connected components J4)
+      ▼
+    canonical nodes (entity_id, canonical_id, …)
+      │  stage 4 — edges        snapshot     (canonical rewrite, partitioned)
+      ▼
+    edges (src, pred, dst, provenance)
+
+Stage 1 carries the content-bytes cost and is per-file incremental with
+crash-safe resume; stages 2-4 are derived tables ~1000x smaller,
+recomputed per snapshot but skipped outright when the upstream
+fingerprint is unchanged (see sources/checkpoint.py).  Before the heavy
+extraction scan the input is salted-repartitioned on
+(repo, xxhash64 % SALT) so a monorepo cannot pin a single task (north
+rule: explicit skew handling; AQE skew-join remains on as backstop).
+
+Each ``run_*`` returns StageRun metrics and appends per-partition
+lineage rows — `graph_stats` aggregates headline metrics per run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sema_spark.operators.canonicalize import canonical_edges, canonicalize_nodes
+from sema_spark.operators.linking import build_nodes, link_triples
+from sema_spark.operators.mentions import (
+    extract_triples,
+    salted_repartition,
+    with_content_sha,
+)
+from sema_spark.sources.checkpoint import (
+    StageRun,
+    read_snapshot,
+    read_stage_output,
+    run_incremental_stage,
+    run_snapshot_stage,
+)
+
+STAGE_TRIPLES = "triples"
+STAGE_LINKED = "linked"
+STAGE_NODES = "nodes"
+STAGE_EDGES = "edges"
+
+
+@dataclass
+class PipelineRun:
+    triples: StageRun
+    linked: StageRun
+    nodes: StageRun
+    edges: StageRun
+
+    @property
+    def any_work(self) -> bool:
+        return any(not s.skipped for s in (self.triples, self.linked, self.nodes, self.edges))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    src: DataFrame,
+    base: str,
+    fuzzy: bool = True,
+    salt_partitions: int | None = None,
+) -> PipelineRun:
+    """Execute (or resume) the full pipeline against the current source."""
+    src = src if "content_sha" in src.columns else with_content_sha(src)
+
+    r1 = run_incremental_stage(
+        spark,
+        src,
+        STAGE_TRIPLES,
+        base,
+        lambda pending: extract_triples(salted_repartition(pending, salt_partitions)),
+    )
+    triples = read_stage_output(spark, base, STAGE_TRIPLES)
+    keys = triples.select("repo", "path", "content_sha").distinct()
+
+    r2 = run_snapshot_stage(
+        spark, keys, STAGE_LINKED, base, lambda: link_triples(triples, fuzzy=fuzzy)
+    )
+    linked = read_snapshot(spark, base, STAGE_LINKED)
+
+    r3 = run_snapshot_stage(
+        spark, keys, STAGE_NODES, base, lambda: canonicalize_nodes(build_nodes(triples)),
+        partition_cols=["kind"],
+    )
+    nodes = read_snapshot(spark, base, STAGE_NODES)
+
+    r4 = run_snapshot_stage(
+        spark, keys, STAGE_EDGES, base, lambda: canonical_edges(linked, nodes),
+        partition_cols=["pred"],
+    )
+    return PipelineRun(r1, r2, r3, r4)
+
+
+def read_triples(spark: SparkSession, base: str) -> DataFrame:
+    return read_stage_output(spark, base, STAGE_TRIPLES)
+
+
+def read_linked(spark: SparkSession, base: str) -> DataFrame:
+    return read_snapshot(spark, base, STAGE_LINKED)
+
+
+def read_nodes(spark: SparkSession, base: str) -> DataFrame:
+    return read_snapshot(spark, base, STAGE_NODES)
+
+
+def read_edges(spark: SparkSession, base: str) -> DataFrame:
+    return read_snapshot(spark, base, STAGE_EDGES)
+
+
+def graph_stats(spark: SparkSession, base: str) -> DataFrame:
+    """Headline per-repo metrics over the materialized graph."""
+    edges = read_edges(spark, base)
+    nodes = read_nodes(spark, base)
+    per_repo = edges.groupBy("repo").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("src").alias("n_src_entities"),
+    )
+    node_counts = (
+        nodes.groupBy("repo").agg(
+            F.count("*").alias("n_nodes"),
+            F.countDistinct("canonical_id").alias("n_canonical"),
+        )
+    )
+    return per_repo.join(node_counts, "repo", "full")
+
+
+# Result-shaping queries mirroring the reference's search entry points ----
+
+def who_imports(spark: SparkSession, base: str, module_entity: str) -> DataFrame:
+    """'Which files import X' — flagship lineage query."""
+    return (
+        read_edges(spark, base)
+        .filter((F.col("pred") == "imports") & (F.col("dst") == module_entity))
+        .select("src", "repo", "path")
+        .distinct()
+    )
+
+
+def semantic_search(
+    spark: SparkSession, chunks_with_embeddings: DataFrame, query: str, k: int = 50
+) -> DataFrame:
+    """Reference entry point B (src/tui/engine.rs:102-154): encode the
+    query driver-side, cosine against the embedding column, top-k, then
+    the A1 per-file dedup+count window.  Unlike the reference we keep the
+    real cosine score (it hardcodes 1.0, src/storage/mod.rs:123)."""
+    from pyspark.sql import Window
+
+    from sema_spark.functions.encoder import query_literal
+    from sema_spark.functions.vector import cosine
+
+    scored = chunks_with_embeddings.withColumn(
+        "score", cosine(F.col("embedding"), query_literal(query))
+    )
+    topk = scored.orderBy(F.desc_nulls_last("score")).limit(k)
+    w_rank = Window.partitionBy("path").orderBy("start_line")
+    w_count = Window.partitionBy("path")
+    return (
+        topk.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("matches_in_file", F.count("*").over(w_count))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy(F.desc_nulls_last("score"))
+    )

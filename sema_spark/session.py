@@ -48,7 +48,15 @@ def get_spark(
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Executor Python workers must import sema_spark regardless of the
+    # driver's cwd.  On a cluster this is `spark-submit --py-files`; in
+    # local mode we put the repo root on the workers' PYTHONPATH.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = os.environ.get("PYTHONPATH", "")
+    if repo_root not in prev.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{prev}" if prev else repo_root
     builder = SparkSession.builder.appName(app_name)
+    builder = builder.config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     if not os.environ.get("SPARK_MASTER_SET"):
         builder = builder.master(f"local[{cores}]")
     for k, v in {**_DEFAULTS, **(extra_conf or {})}.items():

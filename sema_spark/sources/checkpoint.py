@@ -171,7 +171,7 @@ def read_stage_output(spark: SparkSession, base: str, stage: str) -> DataFrame:
     data = spark.read.parquet(_data_dir(base, stage))
     ckpt = current_checkpoint(spark, base, stage)
     keys = ["repo", "path", "content_sha", "run_id"]
-    return data.join(ckpt.select(*keys), on=keys, how="left_semi")
+    return data.join(ckpt.select(*keys), on=keys, how="left_semi").drop("run_id")
 
 
 def delete_files(
@@ -189,6 +189,88 @@ def delete_files(
         F.lit(TOMBSTONE).alias("content_sha"),
         F.lit(run_id).alias("run_id"),
     ).write.mode("append").parquet(_ckpt_dir(base, stage))
+
+
+# ---------------------------------------------------------------------------
+# Snapshot stages (derived tables).  Stages 2-4 derive from the FULL
+# stage-1 snapshot: entity linking of file A depends on symbols defined in
+# file B, so per-file incremental checkpointing would be semantically
+# wrong for them.  Instead each run writes a complete snapshot and commits
+# it with the *input fingerprint*; an unchanged fingerprint skips the run
+# entirely (the expensive content-scanning work is stage 1's, which IS
+# per-file incremental — derived tables are orders of magnitude smaller).
+
+_COMMIT_MARK = "__SNAPSHOT__"
+
+
+def input_fingerprint(keys: DataFrame) -> str:
+    """Order-independent fingerprint of a (repo, path, content_sha) set."""
+    row = keys.select(
+        F.count("*").alias("n"),
+        # bit_xor not sum: order-independent and safe under ANSI overflow
+        F.bit_xor(F.xxhash64("repo", "path", "content_sha")).alias("s"),
+    ).collect()[0]
+    return f"{row.n}:{row.s}"
+
+
+def _latest_commit(spark: SparkSession, base: str, stage: str):
+    log = read_checkpoint_log(spark, base, stage)
+    rows = (
+        log.filter(F.col("repo") == _COMMIT_MARK)
+        .orderBy(F.desc("run_id"))
+        .limit(1)
+        .collect()
+    )
+    return rows[0] if rows else None
+
+
+def run_snapshot_stage(
+    spark: SparkSession,
+    input_keys: DataFrame,
+    stage: str,
+    base: str,
+    producer,
+    run_id: str | None = None,
+    partition_cols: list[str] | None = None,
+) -> StageRun:
+    """Full-snapshot stage with fingerprint skip + commit-last visibility.
+
+    ``producer()`` → the complete output DataFrame for this snapshot.
+    Crash before the commit row → snapshot invisible, rerun regenerates.
+    """
+    run_id = run_id or new_run_id()
+    fp = input_fingerprint(input_keys)
+    last = _latest_commit(spark, base, stage)
+    if last is not None and last.content_sha == fp:
+        return StageRun(stage, last.run_id, 0, 0, skipped=True)
+    out = producer().withColumn("run_id", F.lit(run_id)).persist()
+    try:
+        parts = ["run_id"] + (partition_cols or [])
+        out.write.mode("append").partitionBy(*parts).parquet(_data_dir(base, stage))
+        n_rows = out.count()
+        lineage = (
+            out.groupBy(F.spark_partition_id().cast("long").alias("partition_id"))
+            .agg(F.count("*").alias("rows"))
+            .select(F.lit(stage).alias("stage"), "partition_id", "rows", F.lit(run_id).alias("run_id"))
+        )
+        spark.createDataFrame(lineage.collect(), LINEAGE).write.mode("append").parquet(
+            _lineage_dir(base, stage)
+        )
+        spark.createDataFrame(
+            [(stage, _COMMIT_MARK, _COMMIT_MARK, fp, run_id)], _CKPT_RUN_SCHEMA
+        ).write.mode("append").parquet(_ckpt_dir(base, stage))
+    finally:
+        out.unpersist()
+    return StageRun(stage, run_id, -1, n_rows, skipped=False)
+
+
+def read_snapshot(spark: SparkSession, base: str, stage: str) -> DataFrame:
+    """Rows of the latest committed snapshot run."""
+    last = _latest_commit(spark, base, stage)
+    if last is None:
+        raise FileNotFoundError(f"no committed snapshot for stage {stage!r} under {base}")
+    data = spark.read.parquet(_data_dir(base, stage))
+    return data.filter(F.col("run_id") == last.run_id).drop("run_id")
 
 
 def read_lineage(spark: SparkSession, base: str, stage: str) -> DataFrame:

@@ -1,0 +1,101 @@
+import pytest
+from pyspark.sql import functions as F
+
+from sema_spark.corpus import corpus_df, generate_corpus
+from sema_spark.operators.chunker import chunk_and_embed
+from sema_spark.plans import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def kg(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("kg"))
+    src = corpus_df(spark, "xs")
+    run = P.run_pipeline(spark, src, base)
+    return base, src, run
+
+
+def test_all_stages_ran(spark, kg):
+    base, _, run = kg
+    assert not run.triples.skipped and run.triples.output_rows > 0
+    assert not run.linked.skipped and not run.nodes.skipped and not run.edges.skipped
+
+
+def test_e2e_triple_parity(spark, kg):
+    base, _, _ = kg
+    _, expected = generate_corpus("xs")
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in P.read_triples(spark, base).select("subj", "pred", "obj").collect()
+    }
+    tp = len(got & expected)
+    precision = tp / len(got)
+    recall = tp / len(expected)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_rerun_skips_everything(spark, kg):
+    base, src, _ = kg
+    run2 = P.run_pipeline(spark, src, base)
+    assert not run2.any_work
+
+
+def test_graph_referential_integrity(spark, kg):
+    base, _, _ = kg
+    nodes = P.read_nodes(spark, base)
+    edges = P.read_edges(spark, base)
+    canon = nodes.select(F.col("canonical_id").alias("id")).distinct()
+    dangling_src = edges.join(canon, edges["src"] == canon["id"], "left_anti")
+    assert dangling_src.count() == 0
+    dangling_dst = (
+        edges.filter(~F.col("dst").startswith("ext:"))
+        .join(canon, edges["dst"] == canon["id"], "left_anti")
+    )
+    assert dangling_dst.count() == 0
+
+
+def test_incremental_change_propagates(spark, kg):
+    base, src, _ = kg
+    mutated = src.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == "org1/proj1") & (F.col("path") == "src/m2.js"),
+            F.lit("// rewritten\nfunction brand_new_fn(x) {\n  const y = brand_new_fn(x);\n  return y;\n}\n"),
+        ).otherwise(F.col("content")),
+    )
+    run = P.run_pipeline(spark, mutated, base)
+    assert run.triples.input_files == 1
+    assert not run.linked.skipped  # fingerprint changed → downstream recomputed
+    edges = P.read_edges(spark, base)
+    assert edges.filter("dst like '%brand_new_fn'").count() > 0
+    # stale symbols of the old file are gone from current nodes
+    nodes = P.read_nodes(spark, base)
+    assert nodes.filter("repo='org1/proj1' and path='src/m2.js' and symbol like 'f2%'").count() == 0
+
+
+def test_flagship_who_imports(spark, kg):
+    base, _, _ = kg
+    got = {
+        r.path
+        for r in P.who_imports(spark, base, "org0/proj0/src/m1.py")
+        .filter("repo = 'org0/proj0'")
+        .collect()
+    }
+    rows, _ = generate_corpus("xs")
+    expect = {
+        r.path
+        for r in rows
+        if r.repo == "org0/proj0" and ("import m1\n" in r.content)
+    }
+    assert got == expect and got
+
+
+def test_semantic_search_self_match(spark):
+    src = corpus_df(spark, "xs").filter("repo = 'org0/proj0'")
+    chunks = chunk_and_embed(src).withColumnRenamed("start_line", "start_line")
+    rows, _ = generate_corpus("xs")
+    probe = next(r for r in rows if r.repo == "org0/proj0" and r.path == "src/m5.py")
+    res = P.semantic_search(spark, chunks, probe.content[:200], k=10).collect()
+    assert res
+    assert res[0].path == "src/m5.py"  # self-similarity wins
+    assert res[0].score > 0.8
+    assert res[0].matches_in_file >= 1
