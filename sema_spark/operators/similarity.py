@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (SURVEY J2/W4 generalized).
+
+Three tiers, all returning the same (id, score) shape:
+
+* :func:`cosine_topk` — brute-force cosine vs a literal query vector;
+  Catalyst plans TakeOrderedAndProject (no full sort), the correct
+  baseline and the exactness oracle for the ANN tiers.
+* :func:`knn_join` — per-query top-k against a candidate table; the
+  broadcast side is the (small) query set, mirroring the reference's
+  1-query-vs-N search (/root/reference/src/storage/lance_indexer.rs:120-126)
+  generalized to a query batch.
+* :func:`ann_lsh_topk` — IVF-style scale path: coarse quantization by
+  hyperplane sign-sketch buckets; probe the query's bucket (+ optional
+  multi-probe by flipping weakest bits), exact re-rank inside.  Recall
+  traded for touching ~1/2^bits of the data per probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sema_spark.functions.vector import cosine
+from sema_spark.operators.dedup import hyperplane_sketch
+
+
+def _qlit(qvec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in qvec])
+
+
+def cosine_topk(
+    df: DataFrame, qvec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact brute-force top-k (the oracle tier)."""
+    return (
+        df.select(id_col, F.round(cosine(F.col(vec_col), _qlit(qvec)), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Per-query exact top-k: broadcast the small query side, window rank.
+
+    At 10^2-10^4 queries × huge candidate table this is the right plan:
+    one pass over candidates, no candidate shuffle at all.
+    """
+    j = candidates.crossJoin(F.broadcast(queries.select(q_id, q_vec)))
+    scored = j.select(q_id, c_id, F.round(cosine(F.col(c_vec), F.col(q_vec)), 6).alias("score"))
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def build_lsh_index(
+    df: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding", num_bits: int = 8
+) -> DataFrame:
+    """Assign each vector a coarse bucket (IVF-style inverted file).
+    Persist/write this partitioned by bucket for repeated queries."""
+    sk = hyperplane_sketch(dim, num_bits)
+    return df.withColumn("bucket", sk(F.col(vec_col)))
+
+
+def ann_lsh_topk(
+    index_df: DataFrame,
+    qvec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_bits: int = 8,
+    probes: int = 4,
+) -> DataFrame:
+    """ANN top-k over a build_lsh_index output: probe the query bucket and
+    its nearest variants (weakest-bit flips), exact cosine inside."""
+    import numpy as np
+
+    from sema_spark.operators.dedup import _planes
+
+    q = np.asarray(qvec, dtype=np.float32)
+    margins = q @ _planes(dim, num_bits)
+    bucket = int(sum(1 << i for i, m in enumerate(margins) if m > 0))
+    # multi-probe: flip the lowest-|margin| bits (closest to the boundary)
+    order = np.argsort(np.abs(margins))
+    probe_buckets = {bucket}
+    for i in range(min(probes - 1, num_bits)):
+        probe_buckets.add(bucket ^ (1 << int(order[i])))
+    cand = index_df.filter(F.col("bucket").isin(*[int(b) for b in probe_buckets]))
+    return (
+        cand.select(id_col, F.round(cosine(F.col(vec_col), _qlit(qvec)), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,88 @@
+import pytest
+from pyspark.sql import functions as F
+
+from sema_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    exact_dup_groups,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dedup,
+    simhash_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, "  " + BASE.upper() + "  "),  # normalized-exact dup of 0
+        (3, BASE.replace("jumps", "leaps")),  # near dup
+        (4, "completely different content about spark dataframes and shuffles at scale"),
+        (5, "another unrelated document mentioning catalyst optimizer and codegen"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    kept = exact_dedup(docs)
+    ids = {r.id for r in kept.select("id").collect()}
+    assert 0 in ids and 1 not in ids and 2 not in ids
+    assert {3, 4, 5} <= ids
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].group_size == 3 and groups[0].canonical_id == 0
+
+
+def test_minhash_candidates_and_dedup(spark, docs):
+    pairs = {(r.a, r.b) for r in minhash_candidate_pairs(docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and (0, 3) in pairs
+    assert not any({a, b} == {0, 4} or {a, b} == {4, 5} for a, b in pairs)
+    kept = {r.id for r in minhash_dedup(docs, threshold=0.5).select("id").collect()}
+    assert kept == {0, 4, 5}  # 1,2,3 all collapse into 0's component
+
+
+def test_simhash_blocking(spark):
+    """Simhash is a long-document sketch: a couple of changed words in a
+    150-word doc moves only a few of 64 bits (tiny docs flip many — see
+    the hamming=10 measurement for a 16-word doc in the module history)."""
+    words = [f"tok{i}" for i in range(150)]
+    rows = [
+        (0, " ".join(words)),
+        (1, " ".join(words)),  # identical
+        (2, " ".join(words + ["suffixword"])),  # near dup (measured ham=1)
+        (3, " ".join(f"other{i}" for i in range(150))),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    sh = {r.id: r.s for r in docs.select("id", simhash(F.col("text")).alias("s")).collect()}
+    assert sh[0] == sh[1]
+    pairs = {(r.a, r.b): r.hamming for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 3
+    assert not any(3 in p for p in pairs)
+    kept = {r.id for r in simhash_dedup(docs, max_hamming=3).select("id").collect()}
+    assert kept == {0, 3}
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and 0.8 <= pairs[(0, 3)] < 1.0
+
+
+def test_embedding_dup_pairs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    v0 = rng.standard_normal(64)
+    v1 = v0 + rng.standard_normal(64) * 0.05  # near dup
+    v2 = rng.standard_normal(64)  # unrelated
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate([v0, v1, v2])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_dup_pairs(df, dim=64, threshold=0.9).collect()
+    assert {(r.a, r.b) for r in pairs} == {(0, 1)}
+    assert pairs[0].cos > 0.99
