@@ -1,0 +1,110 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Times the headline queries from ``__spark_entry__`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus the north-rule headline: stage-1
+triple-extraction throughput (triples/sec) over the deterministic
+synthetic repo corpus.
+
+Output: {"metric": "bench_total", "value": <sec>, "unit": "sec",
+         "queries": {...per-query sec...}, "sf": <sf>,
+         "triples_per_sec": <n>, "kg_scale": "...", "cpus": "..."}
+
+Full computation is forced with the `noop` sink (count() would let
+Catalyst prune projections).  tools/bench_scaling.py wraps this at two
+parallelism levels for the N-vs-4N scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "tpch_q1_pricing",
+    "a1_window_dedup",
+    "w4_topk",
+    "j1_anti_join",
+    "j3_broadcast_join",
+    "j2_cosine_topk",
+    "s4_posting_list",
+    "a4_bm25_search",
+    "term_mentions",
+    "lang_id",
+    "quality_score",
+    "dedup_exact",
+    "dedup_minhash",
+    "j4_connected_components",
+    "events_windowed_agg",
+    "w1_chunker",
+    "u1_encoder",
+]
+
+
+def _consume(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _bench_corpus(spark, scale: str) -> str:
+    path = f"/tmp/sema_bench_corpus_{scale}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        from sema_spark.corpus import write_corpus
+
+        write_corpus(spark, path, scale)
+    return path
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    kg_scale = os.environ.get("SPARK_GRAFT_KG_SCALE", "bench")
+
+    import __spark_entry__ as E
+    from sema_spark.operators.mentions import extract_triples, salted_repartition, with_content_sha
+    from sema_spark.session import get_spark
+
+    spark = get_spark(app_name="sema_spark-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # North-rule headline: triples/sec on the synthetic repo corpus.
+    corpus_path = _bench_corpus(spark, kg_scale)
+    src = with_content_sha(spark.read.parquet(corpus_path))
+    t0 = time.time()
+    triples = extract_triples(salted_repartition(src))
+    n_triples = triples.count()
+    kg_sec = time.time() - t0
+    timings["kg_extract_triples"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "triples": n_triples,
+                "triples_per_sec": round(n_triples / kg_sec, 1),
+                "kg_scale": kg_scale,
+                "cpus": cpus,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -7,13 +7,16 @@ Generalizes the reference's exact-hash identity dedup
 key — ``content_sha`` for file entities, ``content_sha#normalized(symbol)``
 for symbol entities — and transitively closed into components.
 
-Connected components is label propagation by iterative join
-(small-star flavored): comp(v) ← min(comp(v), min over neighbors
-comp(u)), to fixpoint.  Every iteration ends in ``localCheckpoint`` to
+Connected components is label propagation with **pointer jumping**:
+each iteration does (1) a 1-hop min-propagation over edges and (2) a
+path-halving step comp(v) ← comp(comp(v)), giving O(log diameter)
+iterations instead of O(diameter) — a 25-node chain converges in ~5
+rounds, not 25.  Every iteration ends in an eager ``localCheckpoint`` to
 cut the lineage chain (iterative Catalyst plans otherwise grow without
-bound).  Diameter is tiny here (key groups form stars), so iterations ≈
-O(log*) in practice; a GraphFrames ``connectedComponents`` drop-in is
-noted for clusters that ship it.
+bound), and convergence is detected by a bit_xor fingerprint of the
+assignment (one cheap agg on checkpointed data, no extra join).  A
+GraphFrames ``connectedComponents`` drop-in is noted for clusters that
+ship it.
 """
 
 from __future__ import annotations
@@ -42,29 +45,36 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+
+    def fingerprint(c: DataFrame) -> int:
+        row = c.select(F.bit_xor(F.xxhash64("id", "component")).alias("f")).collect()[0]
+        return row.f if row.f is not None else 0
+
+    fp = fingerprint(comp)
     for _ in range(max_iter):
-        # messages: each node offers its component id to its neighbors
+        # (1) 1-hop min propagation: each node offers its label to neighbors
         msgs = (
             e.join(comp, e["x"] == comp["id"], "inner")
             .select(F.col("y").alias("id"), F.col("component"))
         )
-        new_comp = (
+        hop = (
             comp.select("id", "component")
             .union(msgs)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # (2) pointer jumping: follow the label's own label (path halving)
+        parent = hop.select(F.col("id").alias("pid"), F.col("component").alias("pcomp"))
+        new_comp = (
+            hop.join(parent, hop["component"] == parent["pid"], "left")
+            .select("id", F.coalesce(F.least("pcomp", "component"), F.col("component")).alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_fp = fingerprint(new_comp)
         comp = new_comp
-        if changed == 0:
+        if new_fp == fp:
             break
+        fp = new_fp
     e.unpersist()
     return comp
 

@@ -76,8 +76,13 @@ def minhash_candidate_pairs(
     max_bucket: int = 1000,
 ) -> DataFrame:
     """(a, b, est_jaccard) pairs with estimated Jaccard ≥ threshold."""
-    mh = with_minhash(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), text_col="t")
-    bands = explode_bands(mh.select("id", "mh_sig", "mh_bands"), ["id", "mh_sig"])
+    # materialize the signatures ONCE (the expensive vectorized hash
+    # pipeline), then band/join on slim (id, band, bh) rows only — the
+    # 64-long signature array never enters the self-join shuffle
+    mh = with_minhash(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), text_col="t"
+    ).select("id", "mh_sig", "mh_bands").localCheckpoint()
+    bands = explode_bands(mh, ["id"])
     cap = Window.partitionBy("band", "bh").orderBy("id")
     capped = (
         bands.withColumn("_rn", F.row_number().over(cap))
@@ -85,16 +90,19 @@ def minhash_candidate_pairs(
         .drop("_rn")
     )
     l, r = capped.alias("l"), capped.alias("r")
-    pairs = (
+    cand = (
         l.join(r, on=["band", "bh"])
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            estimated_jaccard(F.col("l.mh_sig"), F.col("r.mh_sig")).alias("est_jaccard"),
-        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
+    )
+    sig = mh.select("id", "mh_sig")
+    pairs = (
+        cand.join(sig.select(F.col("id").alias("a"), F.col("mh_sig").alias("sig_a")), "a")
+        .join(sig.select(F.col("id").alias("b"), F.col("mh_sig").alias("sig_b")), "b")
+        .withColumn("est_jaccard", estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
     )
     return pairs
 
@@ -174,7 +182,7 @@ def simhash_pairs(
                 ),
             )
         ).alias("b"),
-    ).select("id", "sh", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    ).select("id", "sh", F.col("b.band").alias("band"), F.col("b.key").alias("key")).localCheckpoint()
     l, r = bands.alias("l"), bands.alias("r")
     return (
         l.join(r, on=["band", "key"])
@@ -286,7 +294,7 @@ def embedding_dup_pairs(
                 ),
             )
         ).alias("b"),
-    ).select("id", "v", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    ).select("id", "v", F.col("b.band").alias("band"), F.col("b.key").alias("key")).localCheckpoint()
     l, r = bands.alias("l"), bands.alias("r")
     return (
         l.join(r, on=["band", "key"])
