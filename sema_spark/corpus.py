@@ -29,10 +29,17 @@ EXT = {"py": "py", "js": "js", "rs": "rs"}
 MIN_CONTENT_CHARS = 50
 
 SCALES = {
-    # scale: (n_repos, base_modules_per_repo, monorepo_factor)
-    "xs": (5, 16, 1),
-    "s": (30, 64, 4),
-    "bench": (100, 200, 150),
+    # scale: (n_repos, base_modules_per_repo, monorepo_factor, body_factor)
+    # body_factor multiplies functions/methods per module so bench files
+    # are KB-sized — small enough to generate fast, big enough that the
+    # scaling run measures compute, not scheduler overhead
+    "xs": (5, 16, 1, 1),
+    "s": (30, 64, 4, 1),
+    "bench": (100, 200, 150, 6),
+    # XL: ~10KB files / ~310MB content — the scaling-efficiency run needs
+    # enough compute to amortize per-stage fixed costs (scheduling, codegen
+    # compile), exactly as a real cluster claim would
+    "benchxl": (100, 200, 150, 24),
 }
 
 
@@ -153,7 +160,7 @@ def _edge_triples(repo: str):
 
 def generate_corpus(scale: str = "xs") -> tuple[list[FileRow], set[tuple[str, str, str]]]:
     """Return (file rows, exact expected triple set) for a scale."""
-    n_repos, base_modules, mono_factor = SCALES[scale]
+    n_repos, base_modules, mono_factor, body_factor = SCALES[scale]
     rows: list[FileRow] = []
     expected: set[tuple[str, str, str]] = set()
     for i in range(n_repos):
@@ -164,8 +171,8 @@ def generate_corpus(scale: str = "xs") -> tuple[list[FileRow], set[tuple[str, st
         for j in range(n_modules):
             path = f"src/m{j}.{EXT[lang]}"
             imports = sorted({(j + 1) % n_modules, (j * 2 + 3) % n_modules} - {j}) if n_modules > 1 else []
-            nf = 2 + (j % 3)
-            nm = 1 + (j % 2)
+            nf = (2 + (j % 3)) * body_factor
+            nm = (1 + (j % 2)) * body_factor
             content, triples = _RENDER[lang](repo, path, j, imports, nf, nm)
             rows.append(FileRow(repo, path, commit, lang, content))
             expected |= triples
@@ -201,8 +208,16 @@ def expected_triples_df(spark, scale: str = "xs"):
     return spark.createDataFrame(sorted(expected), schema)
 
 
-def write_corpus(spark, out_dir: str, scale: str = "xs") -> None:
-    """Materialize the corpus as a parquet table partitioned like the real
-    input would be (repo-hash buckets, not repo — a monorepo must not own
-    a whole partition)."""
-    corpus_df(spark, scale).write.mode("overwrite").parquet(out_dir)
+def write_corpus(spark, out_dir: str, scale: str = "xs", num_files: int | None = None) -> None:
+    """Materialize the corpus as a parquet table laid out like the real
+    input would be: many files, rows hash-spread so a monorepo doesn't
+    own a contiguous region (parquet splits can't go below row-group /
+    file granularity, so file count bounds scan parallelism)."""
+    from pyspark.sql import functions as F
+
+    df = corpus_df(spark, scale)
+    if num_files is None:
+        n_repos, base_modules, mono, body = SCALES[scale]
+        approx_rows = n_repos * base_modules + base_modules * (mono - 1)
+        num_files = max(8, min(128, approx_rows // 400))
+    df.repartition(num_files, F.xxhash64("repo", "path")).write.mode("overwrite").parquet(out_dir)

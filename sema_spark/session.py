@@ -33,6 +33,12 @@ _DEFAULTS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
+# Shuffle/spill files on tmpfs when available: the sandbox's /tmp sits on
+# a virtual disk whose bandwidth is a *serial* resource that caps shuffle
+# scaling.  On a real cluster this is the NVMe-backed local-dir default.
+if os.path.isdir("/dev/shm"):
+    _DEFAULTS["spark.local.dir"] = "/dev/shm/spark-local"
+
 
 def get_spark(
     app_name: str = "sema_spark",

@@ -12,7 +12,7 @@ def test_deterministic():
 
 def test_scale_counts():
     rows, triples = generate_corpus("xs")
-    n_repos, base, _ = SCALES["xs"]
+    n_repos, base, _, _ = SCALES["xs"]
     assert len(rows) >= n_repos * base
     assert len(triples) > 100
     # every triple subj/obj references a known repo/path namespace
