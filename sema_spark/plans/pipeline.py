@@ -161,6 +161,10 @@ def semantic_search(
     from sema_spark.functions.encoder import query_literal
     from sema_spark.functions.vector import cosine
 
+    if len(query.strip()) <= 2:
+        # F5 min-query-length guard (reference clears results instead of
+        # searching, /root/reference/src/tui/app.rs:164-168)
+        return spark.createDataFrame([], chunks_with_embeddings.schema.add("score", "double").add("matches_in_file", "long"))
     scored = chunks_with_embeddings.withColumn(
         "score", cosine(F.col("embedding"), query_literal(query))
     )
