@@ -468,6 +468,25 @@ def q_kg_pipeline_edges(spark, sf):
     return canonical_edges(linked, nodes).select("src", "pred", "dst")
 
 
+def q_curation_pipeline(spark, sf):
+    """Training-data curation composition: language filter → quality
+    threshold → exact near-dup removal → stable sample; the shape of a
+    real pretraining-data job, end-to-end SQL-oracle-checked."""
+    from sema_spark.functions.text import content_fingerprint, language_id, quality_score
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf).select(
+        "doc_id", "text", language_id("text").alias("lang_guess"), quality_score("text").alias("quality")
+    )
+    filtered = docs.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.3))
+    w = Window.partitionBy(content_fingerprint("text")).orderBy("doc_id")
+    deduped = filtered.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    # stable 80% sample on a key both engines hash identically (doc_id mod)
+    return deduped.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8).select(
+        "doc_id", "lang_guess", "quality"
+    )
+
+
 def q_semantic_search(spark, sf):
     """Reference entry point B end-to-end: chunk → encode → query-cosine
     → top-k → per-file dedup window (keeps the real score, unlike the
@@ -542,6 +561,7 @@ def _build_registry():
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "curation_pipeline": q_curation_pipeline,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "kg_pipeline_edges": q_kg_pipeline_edges,
         "semantic_search": q_semantic_search,
@@ -740,5 +760,36 @@ def oracle_sql() -> dict[str, str]:
         "rollup_counts": """
             select coalesce(source, '__total__') as source, count(*) as n_docs
             from documents group by rollup(source)
+        """,
+        "curation_pipeline": rf"""
+            with feat as (
+              select doc_id, text,
+                len(regexp_extract_all(lower(text), '{en}')) as c_en,
+                len(regexp_extract_all(lower(text), '{de}')) as c_de,
+                len(regexp_extract_all(lower(text), '{fr}')) as c_fr,
+                len(regexp_extract_all(lower(text), '{es}')) as c_es,
+                len(regexp_split_to_array(trim(text), '\s+')) as n_words,
+                (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                   / nullif(length(text), 0) as pr
+              from documents),
+            scored as (
+              select doc_id, text,
+                case when c_en >= greatest(c_de, c_fr, c_es) then 'en'
+                     when c_de >= greatest(c_fr, c_es) then 'de'
+                     when c_fr >= c_es then 'fr' else 'es' end as lang_guess,
+                round(0.4 * least(n_words / 100.0, 1.0)
+                    + 0.3 * (1.0 - least(coalesce(pr, 1.0) * 10.0, 1.0))
+                    + 0.3 * least(coalesce(c_en / nullif(n_words, 0), 0.0) * 5.0, 1.0), 6) as quality
+              from feat),
+            filtered as (
+              select * from scored where lang_guess = 'en' and quality >= 0.3),
+            deduped as (
+              select doc_id, lang_guess, quality,
+                     row_number() over (
+                       partition by sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       order by doc_id) as rn
+              from filtered)
+            select doc_id, lang_guess, quality from deduped
+            where rn = 1 and doc_id % 10 < 8
         """,
     }
