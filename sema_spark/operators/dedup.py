@@ -44,6 +44,15 @@ from sema_spark.functions.vector import cosine
 from sema_spark.operators.canonicalize import connected_components
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition small-file inputs before CPU-heavy sketch phases:
+    higher-order-function pipelines (minhash/simhash) are interpreted,
+    not codegen'd, and a tiny parquet arrives as ONE partition — measured
+    10s single-core for 5k docs that parallelizes to sub-second."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * 2, *cols)
+
+
 # ---------------------------------------------------------------------- exact
 def exact_dedup(df: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
     """Keep one row (min id) per normalized-content fingerprint; adds
@@ -81,7 +90,7 @@ def minhash_candidate_pairs(
     # pipeline), then band/join on slim (id, band, bh) rows only — the
     # 64-long signature array never enters the self-join shuffle
     mh = with_minhash(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")),
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id"),
         text_col="t",
         bands=choose_bands(threshold),
     ).select("id", "mh_sig", "mh_bands").localCheckpoint()
@@ -172,7 +181,9 @@ def simhash_pairs(
     """Near-dup pairs by simhash: block on 4 x 16-bit bands (any pair with
     Hamming ≤ 3 over 64 bits must agree exactly on ≥ 1 of 4 bands), then
     exact Hamming filter."""
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id").select(
+        "id", simhash(F.col("t")).alias("sh")
+    )
     bands = sh.select(
         "id",
         "sh",
@@ -275,7 +286,7 @@ def embedding_dup_pairs(
     (1 - arccos(0.95)/π)^16 ≈ 0.27 per band; we use 4 rotated bands of the
     sketch bits via bit-rotation keys to boost recall."""
     sk = hyperplane_sketch(dim, num_bits)
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id").withColumn(
         "sk", sk(F.col("v"))
     )
     # 4 bands: overlapping half-width windows of the sketch bits → ORed
