@@ -64,7 +64,7 @@ def main() -> int:
     kg_scale = os.environ.get("SPARK_GRAFT_KG_SCALE", "bench")
 
     import __spark_entry__ as E
-    from sema_spark.operators.mentions import extract_triples, salted_repartition, with_content_sha
+    from sema_spark.operators.mentions import extract_triples, with_content_sha
     from sema_spark.session import get_spark
 
     spark = get_spark(app_name="sema_spark-bench", cores=cpus)
@@ -80,11 +80,14 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
 
     # North-rule headline: triples/sec on the synthetic repo corpus.
+    # Same job shape as tools/bench_scaling.py: file-split parallelism
+    # (the corpus ships as ~125 files), no repartition shuffle; one
+    # warm-up run so the headline measures the pipeline, not JIT.
     corpus_path = _bench_corpus(spark, kg_scale)
     src = with_content_sha(spark.read.parquet(corpus_path))
+    extract_triples(src).count()  # warm-up
     t0 = time.time()
-    triples = extract_triples(salted_repartition(src))
-    n_triples = triples.count()
+    n_triples = extract_triples(src).count()
     kg_sec = time.time() - t0
     timings["kg_extract_triples"] = round(kg_sec, 3)
 

@@ -12,9 +12,11 @@ stage 1) to entity ids.  Generalizes the reference's two lookup paths:
 
 Resolution is repo-scoped: the join key is ``(repo, alias)`` so on a
 cluster both sides co-partition by repo and a monorepo's hot key is
-handled by AQE skew-join; ``broadcast=True`` (default) additionally
-hints the dictionary broadcast, correct whenever the alias dict fits in
-executor memory (symbol tables are ~1e3 smaller than content bytes).
+handled by AQE skew-join.  ``broadcast=None`` (default) lets AQE decide
+at runtime from the dictionary's actual size (autoBroadcastJoinThreshold)
+— a forced hint would OOM executors at 10^12-file scale where the
+symbol table alone is TBs; pass ``broadcast=True`` only when the
+dictionary is known-small (e.g. a curated alias list).
 """
 
 from __future__ import annotations
@@ -94,7 +96,7 @@ def _pick_best_alias(joined: DataFrame, id_cols: list[str]) -> DataFrame:
 def link_triples(
     triples: DataFrame,
     nodes: DataFrame | None = None,
-    broadcast: bool = True,
+    broadcast: bool | None = None,
     fuzzy: bool = True,
     cosine_threshold: float = COSINE_THRESHOLD,
 ) -> DataFrame:
