@@ -52,12 +52,55 @@ def _contract(e: DataFrame, rounds: int = 2):
     return e, mappings
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+DRIVER_CC_MAX_EDGES = 3_000_000
+
+
+def _driver_cc(spark, e: DataFrame) -> DataFrame:
+    """Union-find on the driver — for edge sets that fit trivially in
+    driver memory this beats the iterative-join path by ~10x wall clock
+    (each distributed iteration costs scheduler round-trips regardless
+    of data size).  The distributed path remains for graphs that don't."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    pdf = e.toPandas()  # Arrow transfer — toLocalIterator's py4j row
+    # stream measured ~10s for 2M edges; this is sub-second
+    for a, b in zip(pdf.iloc[:, 0].to_numpy(), pdf.iloc[:, 1].to_numpy()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(out, "id string, component string")
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25, driver_max_edges: int = DRIVER_CC_MAX_EDGES
+) -> DataFrame:
     """edges(a string, b string) → (id string, component string).
 
     Component id = lexicographic min node id in the component.
     Includes singleton handling for any id appearing in edges.
+    Hybrid execution: small edge sets union-find on the driver; larger
+    ones run min-label contraction + pointer-jumping label propagation.
     """
+    if driver_max_edges:
+        e_simple = edges.filter(F.col("a") != F.col("b")).persist()
+        n_edges = e_simple.count()
+        if n_edges <= driver_max_edges:
+            out = _driver_cc(edges.sparkSession, e_simple)
+            e_simple.unpersist()
+            return out
+        e_simple.unpersist()
     e0 = (
         edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .union(edges.select(F.col("b").alias("x"), F.col("a").alias("y")))

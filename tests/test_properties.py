@@ -30,6 +30,8 @@ class TestConnectedComponentsProperties:
     @given(_edge_sets)
     @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
     def test_matches_union_find(self, pairs):
+        """Both execution tiers (driver union-find AND the distributed
+        contraction + label-propagation path) must match ground truth."""
         from sema_spark.operators.canonicalize import connected_components
         from sema_spark.session import get_spark
 
@@ -38,9 +40,14 @@ class TestConnectedComponentsProperties:
         if not pairs:
             return
         edges = spark.createDataFrame(pairs, "a string, b string")
-        got = {r.id: r.component for r in connected_components(edges).collect()}
         expect = _python_cc(pairs)
-        assert got == expect
+        got_driver = {r.id: r.component for r in connected_components(edges).collect()}
+        assert got_driver == expect
+        got_dist = {
+            r.id: r.component
+            for r in connected_components(edges, driver_max_edges=0).collect()
+        }
+        assert got_dist == expect
 
     def test_partition_property(self):
         """Components partition the node set: every node exactly one
