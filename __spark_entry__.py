@@ -369,6 +369,62 @@ def q_events_windowed_agg(spark, sf):
     )
 
 
+def q_per_group_topk(spark, sf):
+    """Per-group top-k (stratified best-quality selection per language):
+    window rank, the W4 top-k generalized to groups."""
+    from pyspark.sql import Window
+
+    from sema_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf).select("doc_id", "lang", quality_score("text").alias("quality"))
+    w = Window.partitionBy("lang").orderBy(F.desc("quality"), F.col("doc_id"))
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "rank", "doc_id", "quality")
+    )
+
+
+def q_asof_join(spark, sf):
+    """As-of join: every purchase event gets the user's most recent
+    prior signup value (null when none).  Oracle is DuckDB's native
+    ASOF JOIN — the strongest cross-engine semantics check here."""
+    from sema_spark.operators.relational import asof_join
+
+    ev = _table(spark, sf, "events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("purchase_value")
+    )
+    signups = ev.filter("event_type = 'signup'").select(
+        "user_id", F.col("ts").alias("signup_ts"), F.round("value", 2).alias("signup_value")
+    )
+    out = asof_join(
+        purchases, signups, key="user_id", left_ts="ts", right_ts="signup_ts",
+        value_cols=["signup_value"], suffix="",
+    )
+    return out.select("event_id", "user_id", "purchase_value", "signup_value")
+
+
+def q_sessionization(spark, sf):
+    """Event sessionization: a new session starts after a >30min gap per
+    user (lag + cumulative sum — the batch form of streaming session
+    windows).  Returns per-session aggregates."""
+    from pyspark.sql import Window
+
+    ev = _table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    sessions = (
+        ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_idx", F.sum("new_sess").over(w))
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
 def q_rollup_counts(spark, sf):
     """Rollup aggregation (per-source + grand total)."""
     return (
@@ -553,6 +609,9 @@ def _build_registry():
         "set_except": q_set_except,
         "events_windowed_agg": q_events_windowed_agg,
         "rollup_counts": q_rollup_counts,
+        "sessionization": q_sessionization,
+        "asof_join": q_asof_join,
+        "per_group_topk": q_per_group_topk,
         # rows-only (UDF/pipeline operators; gates in tests/)
         "w1_chunker": q_w1_chunker,
         "u1_encoder": q_u1_encoder,
@@ -760,6 +819,52 @@ def oracle_sql() -> dict[str, str]:
         "rollup_counts": """
             select coalesce(source, '__total__') as source, count(*) as n_docs
             from documents group by rollup(source)
+        """,
+        "per_group_topk": rf"""
+            with scored as (
+              select doc_id, lang,
+                round(0.4 * least(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0)
+                    + 0.3 * (1.0 - least(coalesce(
+                        (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                          / nullif(length(text), 0), 1.0) * 10.0, 1.0))
+                    + 0.3 * least(coalesce(
+                        len(regexp_extract_all(lower(text), '{en}'))
+                          / nullif(len(regexp_split_to_array(trim(text), '\s+')), 0), 0.0) * 5.0, 1.0),
+                  6) as quality
+              from documents)
+            select lang, rank, doc_id, quality from (
+              select lang, doc_id, quality,
+                     row_number() over (partition by lang
+                                        order by quality desc, doc_id) as rank
+              from scored)
+            where rank <= 5
+        """,
+        "asof_join": """
+            with purchases as (
+              select event_id, user_id, ts, round(value, 2) as purchase_value
+              from events where event_type = 'purchase'),
+            signups as (
+              select user_id, ts as signup_ts, round(value, 2) as signup_value
+              from events where event_type = 'signup')
+            select p.event_id, p.user_id, p.purchase_value, s.signup_value
+            from purchases p
+            asof left join signups s
+              on p.user_id = s.user_id and p.ts >= s.signup_ts
+        """,
+        "sessionization": """
+            with g as (
+              select user_id, ts, value,
+                     epoch(ts) - lag(epoch(ts)) over (partition by user_id order by ts) as gap
+              from events),
+            s as (
+              select user_id, value,
+                     sum(case when gap is null or gap > 1800 then 1 else 0 end)
+                       over (partition by user_id order by ts
+                             rows between unbounded preceding and current row) as session_idx
+              from g)
+            select user_id, session_idx, count(*) as n_events,
+                   round(sum(value), 2) as session_value
+            from s group by user_id, session_idx
         """,
         "curation_pipeline": rf"""
             with feat as (

@@ -1,0 +1,66 @@
+"""Relational operators Spark lacks as built-ins, expressed as
+compositions of DataFrame ops (SURVEY §2.3 'absent in reference;
+Catalyst-composable'):
+
+* :func:`asof_join` — for each left row, the latest right row with
+  ``right.ts <= left.ts`` per key.  Implemented with the union+window
+  trick: one shuffle on (key), no range-explosion, no per-row Python.
+  The DuckDB oracle uses its native ASOF JOIN, making this one of the
+  strongest cross-engine checks in the suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left row + the most recent right values at
+    or before its timestamp (nulls when no prior right row exists).
+
+    Plan shape: union the two sides tagged, window ``last(value,
+    ignorenulls)`` per key ordered by (ts, side) with right rows sorting
+    before left rows at equal timestamps (ASOF '<=' semantics), then
+    keep the left rows.  One shuffle on key; scales as a plain window.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).select(
+        "_k",
+        "_ts",
+        "_side",
+        "_lrow",
+        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
+    )
+    out = filled.filter(F.col("_side") == 1).select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
+        *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+    return out
