@@ -110,15 +110,68 @@ def lsh_bands(sig: Column, bands: int = LSH_BANDS, num_perm: int = NUM_PERM) -> 
     )
 
 
+def make_signature_udf(shingle_words: bool = True, num_perm: int = NUM_PERM):
+    """Arrow-batched numpy minhash — the alternative to the built-in HOF
+    path.  Per CORE numpy is ~25x faster (HOF lambdas are interpreted,
+    not codegen'd: 10s vs 0.4s for 5k docs single-core), but once the
+    input is spread across partitions the HOF path matched or beat it at
+    this corpus' token counts (Python-worker + Arrow transfer overhead),
+    so HOF stays the default; flip ``use_arrow=True`` for token-heavy
+    documents.  Token hash is crc32 (stable across processes), so
+    signatures differ in VALUE from the HOF path but satisfy the same
+    minhash contract; both paths are property-tested.
+    """
+    import re
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    a_co, b_co = _coefficients(num_perm)
+    A = np.array(a_co, dtype=np.uint64)
+    B = np.array(b_co, dtype=np.uint64)
+    word_re = re.compile(r"[^a-z0-9]+")
+    sentinel = np.full(num_perm, _P, dtype=np.uint64)
+
+    def tokens_of(text: str):
+        t = text.lower()
+        if shingle_words:
+            return {x for x in word_re.split(t) if x}
+        return {t[i : i + 3] for i in range(max(len(t) - 2, 0))}
+
+    def sig_one(text) -> list[int]:
+        if text is None:
+            return [int(x) for x in sentinel]
+        toks = tokens_of(text)
+        if not toks:
+            return [int(x) for x in sentinel]
+        h = np.array([zlib.crc32(tk.encode()) % _H_SPACE for tk in toks], dtype=np.uint64)
+        m = (np.outer(A, h) + B[:, None]) % _P % _H_SPACE
+        return [int(x) for x in m.min(axis=1)]
+
+    # no type hints: they'd be unresolvable strings in this local scope
+    def _impl(s):
+        return s.map(sig_one)
+
+    return pandas_udf(_impl, ArrayType(LongType()))
+
+
 def with_minhash(
     df: DataFrame,
     text_col: str = "content",
     shingle_words: bool = True,
     num_perm: int = NUM_PERM,
     bands: int = LSH_BANDS,
+    use_arrow: bool = False,
 ) -> DataFrame:
-    tokens = tokenize(text_col) if shingle_words else char_shingles(text_col)
-    return df.withColumn("mh_sig", minhash_signature(tokens, num_perm)).withColumn(
+    if use_arrow:
+        sig = make_signature_udf(shingle_words, num_perm)(F.col(text_col))
+    else:
+        tokens = tokenize(text_col) if shingle_words else char_shingles(text_col)
+        sig = minhash_signature(tokens, num_perm)
+    return df.withColumn("mh_sig", sig).withColumn(
         "mh_bands", lsh_bands(F.col("mh_sig"), bands, num_perm)
     )
 
