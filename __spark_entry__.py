@@ -369,6 +369,33 @@ def q_events_windowed_agg(spark, sf):
     )
 
 
+def q_distinct_agg(spark, sf):
+    """Distinct aggregation: distinct users and event types per hour."""
+    ev = _table(spark, sf, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_range_join(spark, sf):
+    """Time-range join (bucketed equi-join + range filter — the scale
+    pattern for interval joins): per purchase, count the same user's
+    error events in the preceding hour."""
+    from sema_spark.operators.relational import bucketed_range_join
+
+    ev = _table(spark, sf, "events")
+    purchases = ev.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    errors = ev.filter("event_type = 'error'").select("user_id", "ts")
+    j = bucketed_range_join(
+        purchases, errors, key="user_id", left_ts="ts", right_ts="ts", window_seconds=3600
+    )
+    return (
+        j.groupBy("event_id").agg(F.count("*").alias("n_recent_errors"))
+    )
+
+
 def q_per_group_topk(spark, sf):
     """Per-group top-k (stratified best-quality selection per language):
     window rank, the W4 top-k generalized to groups."""
@@ -612,6 +639,8 @@ def _build_registry():
         "sessionization": q_sessionization,
         "asof_join": q_asof_join,
         "per_group_topk": q_per_group_topk,
+        "range_join": q_range_join,
+        "distinct_agg": q_distinct_agg,
         # rows-only (UDF/pipeline operators; gates in tests/)
         "w1_chunker": q_w1_chunker,
         "u1_encoder": q_u1_encoder,
@@ -819,6 +848,22 @@ def oracle_sql() -> dict[str, str]:
         "rollup_counts": """
             select coalesce(source, '__total__') as source, count(*) as n_docs
             from documents group by rollup(source)
+        """,
+        "distinct_agg": """
+            select date_trunc('hour', ts) as hour,
+                   count(distinct user_id) as n_users,
+                   count(distinct event_type) as n_types,
+                   count(*) as n_events
+            from events group by 1
+        """,
+        "range_join": """
+            select p.event_id, count(*) as n_recent_errors
+            from (select event_id, user_id, ts from events where event_type = 'purchase') p
+            join (select user_id, ts from events where event_type = 'error') e
+              on p.user_id = e.user_id
+             and epoch(e.ts) <= epoch(p.ts)
+             and epoch(e.ts) >= epoch(p.ts) - 3600
+            group by p.event_id
         """,
         "per_group_topk": rf"""
             with scored as (

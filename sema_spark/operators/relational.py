@@ -7,12 +7,58 @@ Catalyst-composable'):
   trick: one shuffle on (key), no range-explosion, no per-row Python.
   The DuckDB oracle uses its native ASOF JOIN, making this one of the
   strongest cross-engine checks in the suite.
+* :func:`bucketed_range_join` — interval join (left.ts - window ≤
+  right.ts ≤ left.ts, same key) as an EQUI-join on time buckets: the
+  right side explodes to (bucket, bucket+1) so every candidate pair
+  shares a bucket, then the exact range predicate filters.  A naive
+  theta-join degenerates to per-key nested loops; bucketing keeps it a
+  hash join whose cost is bounded by events-per-window, the standard
+  scale pattern for time-range joins.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def bucketed_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """All (left, right) pairs with same key and
+    ``left_ts - window <= right_ts <= left_ts``.
+
+    Returns left columns + right columns suffixed ``_r``.
+    """
+    # fractional epoch (timestamp→double keeps microseconds); integer
+    # unix_timestamp would mis-bucket sub-second boundaries
+    l_epoch = F.col(left_ts).cast("timestamp").cast("double")
+    r_epoch = F.col(right_ts).cast("timestamp").cast("double")
+    l = left.withColumn("_bucket", F.floor(l_epoch / window_seconds)).withColumn("_le", l_epoch)
+    rcols = [F.col(c).alias(f"{c}_r") for c in right.columns]
+    r = (
+        right.select(*rcols, F.floor(r_epoch / window_seconds).alias("_rb"), r_epoch.alias("_re"))
+        # a right row can match left rows in its own bucket or the next
+        .withColumn("_bucket", F.explode(F.array(F.col("_rb"), F.col("_rb") + 1)))
+        .drop("_rb")
+    )
+    joined = l.join(
+        r,
+        on=[
+            l["_bucket"] == r["_bucket"],
+            F.col(f"{key}_r") == l[key],
+            F.col("_re") <= F.col("_le"),
+            F.col("_re") >= F.col("_le") - window_seconds,
+        ],
+        how=how,
+    )
+    return joined.drop("_bucket", "_le", "_re")
 
 
 def asof_join(

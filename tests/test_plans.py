@@ -64,6 +64,14 @@ def test_stage1_whole_stage_codegen(spark):
         assert marker not in plan
 
 
+def test_range_join_is_hash_join(spark):
+    """The bucketed range join must plan as a hash join — a naive theta
+    join would be BroadcastNestedLoopJoin (per-key O(n^2))."""
+    plan = _plan(E.q_range_join(spark, SF))
+    assert "HashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
 def test_anti_join_stays_join(spark):
     plan = _plan(E.q_j1_anti_join(spark, SF))
     assert "LeftAnti" in plan
