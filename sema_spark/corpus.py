@@ -21,8 +21,8 @@ from __future__ import annotations
 import hashlib
 from dataclasses import dataclass
 
-LANGS = ("py", "js", "rs")
-EXT = {"py": "py", "js": "js", "rs": "rs"}
+LANGS = ("py", "js", "rs", "go", "java")
+EXT = {"py": "py", "js": "js", "rs": "rs", "go": "go", "java": "java"}
 
 # Files shorter than this produce no triples — generalizes the
 # reference's MIN_CHUNK_SIZE guard (/root/reference/src/storage/processor.rs:8).
@@ -131,7 +131,58 @@ def _render_rs(repo: str, path: str, j: int, imports: list[int], nf: int, nm: in
     return "\n".join(lines) + "\n", triples
 
 
-_RENDER = {"py": _render_py, "js": _render_js, "rs": _render_rs}
+def _render_go(repo: str, path: str, j: int, imports: list[int], nf: int, nm: int):
+    fp = f"{repo}/{path}"
+    lines = [f"// {repo} module m{j}", f"package m{j}", ""]
+    triples = set()
+    for t in imports:
+        lines.append(f'import "repo/m{t}"')
+        triples.add((fp, "imports", f"m{t}"))
+    callees = [f"f{t}_0" for t in imports] or [f"f{j}_0"]
+    for k in range(nf):
+        callee = callees[k % len(callees)]
+        lines += ["", f"func f{j}_{k}(x int) int {{", f"\ty := {callee}(x)", "\treturn y", "}"]
+        triples.add((fp, "defines", f"{fp}#f{j}_{k}"))
+        triples.add((fp, "calls", callee))
+    lines += ["", f"type C{j} struct {{}}"]
+    triples.add((fp, "defines", f"{fp}#C{j}"))
+    for k in range(nm):
+        lines += [f"func (c C{j}) m{k}() int {{", f"\tv := f{j}_0(0)", "\treturn v", "}"]
+        triples.add((f"{fp}#C{j}", "contains", f"{fp}#m{k}"))
+        triples.add((fp, "calls", f"f{j}_0"))
+    return "\n".join(lines) + "\n", triples
+
+
+def _render_java(repo: str, path: str, j: int, imports: list[int], nf: int, nm: int):
+    fp = f"{repo}/{path}"
+    lines = [f"// {repo} module m{j}"]
+    triples = set()
+    for t in imports:
+        lines.append(f"import repo.m{t};")
+        triples.add((fp, "imports", f"m{t}"))
+    callees = [f"f{t}_0" for t in imports] or [f"f{j}_0"]
+    lines += ["", f"public class C{j} {{"]
+    triples.add((fp, "defines", f"{fp}#C{j}"))
+    for k in range(nf):
+        callee = callees[k % len(callees)]
+        lines += [f"  static int f{j}_{k}(int x) {{", f"    int y = {callee}(x);", "    return y;", "  }"]
+        triples.add((fp, "defines", f"{fp}#f{j}_{k}"))
+        triples.add((fp, "calls", callee))
+    for k in range(nm):
+        lines += [f"  int m{k}() {{", f"    int v = f{j}_0(0);", "    return v;", "  }"]
+        triples.add((f"{fp}#C{j}", "contains", f"{fp}#m{k}"))
+        triples.add((fp, "calls", f"f{j}_0"))
+    lines.append("}")
+    return "\n".join(lines) + "\n", triples
+
+
+_RENDER = {
+    "py": _render_py,
+    "js": _render_js,
+    "rs": _render_rs,
+    "go": _render_go,
+    "java": _render_java,
+}
 
 # Chunker / guard edge-case files (FIXTURES.md §1), added to repo 0.
 # All are constructed to yield zero triples: the first two are under the
@@ -165,7 +216,7 @@ def generate_corpus(scale: str = "xs") -> tuple[list[FileRow], set[tuple[str, st
     expected: set[tuple[str, str, str]] = set()
     for i in range(n_repos):
         repo = f"org{i % 7}/proj{i}"
-        lang = LANGS[i % 3]
+        lang = LANGS[i % len(LANGS)]
         commit = _commit_of(repo)
         n_modules = base_modules * (mono_factor if i == 0 else 1)
         for j in range(n_modules):

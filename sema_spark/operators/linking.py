@@ -102,12 +102,22 @@ def link_triples(
 ) -> DataFrame:
     """TRIPLES → LINKED_TRIPLES (adds obj_id, link_method, link_score)."""
     nodes = nodes if nodes is not None else build_nodes(triples)
+    # localCheckpoint the branch-shared intermediates: the linked output
+    # unions 4 branches that each reference alias/joined/unresolved, and
+    # Catalyst does NOT share common subtrees across a DAG — without
+    # materialization the alias join recomputes ~10x (measured: stage 2
+    # ran 12+ min on 1.7M triples vs ~40s with checkpoints)
+    # alias-side columns get DISTINCT names (a_repo/a_alias): both sides
+    # descend from the same `triples` attributes and localCheckpoint
+    # preserves exprIds, so a raw["repo"] == alias["repo"] condition is a
+    # trivially-true self-compare that Spark (rightly) rejects as an
+    # ambiguous self-join
     alias = build_alias_dict(nodes).select(
-        "repo",
-        "alias",
+        F.col("repo").alias("a_repo"),
+        F.col("alias").alias("a_alias"),
         F.col("entity_id").alias("cand_id"),
         F.col("kind").alias("cand_kind"),
-    )
+    ).localCheckpoint()
     alias_j = F.broadcast(alias) if broadcast else alias
 
     passthrough = triples.filter(~F.col("pred").isin(*LINK_PREDS)).select(
@@ -120,8 +130,10 @@ def link_triples(
 
     key_cols = ["subj", "pred", "obj", "repo", "path", "commit", "line", "content_sha"]
     joined = raw.join(
-        alias_j, on=[raw["repo"] == alias_j["repo"], raw["obj"] == alias_j["alias"]], how="left"
-    ).select(*[raw[c] for c in key_cols], "cand_id", "cand_kind")
+        alias_j,
+        on=[F.col("repo") == F.col("a_repo"), F.col("obj") == F.col("a_alias")],
+        how="left",
+    ).select(*[raw[c] for c in key_cols], "cand_id", "cand_kind").localCheckpoint()
     resolved = _pick_best_alias(joined.filter(F.col("cand_id").isNotNull()), key_cols).select(
         *key_cols,
         F.col("cand_id").alias("obj_id"),
@@ -131,7 +143,7 @@ def link_triples(
     unresolved = joined.filter(F.col("cand_id").isNull()).select(*key_cols).distinct()
 
     if fuzzy:
-        fuzzy_links = _fuzzy_link(unresolved, alias, cosine_threshold)
+        fuzzy_links = _fuzzy_link(unresolved, alias, cosine_threshold).localCheckpoint()
         unresolved = unresolved.join(
             fuzzy_links.select("repo", "obj", F.lit(1).alias("_hit")), on=["repo", "obj"], how="left_anti"
         )
@@ -161,30 +173,63 @@ def link_triples(
 
 
 def _fuzzy_link(unresolved: DataFrame, alias: DataFrame, threshold: float) -> DataFrame:
-    """MinHash-LSH blocking + hashing-encoder cosine re-rank (SURVEY J2).
+    """Tiered fuzzy resolution (SURVEY J2).
 
-    Operates on the *distinct* (repo, raw symbol) set, not per-triple —
-    the candidate problem shrinks by the mention multiplicity before any
-    shuffle.  Returns (repo, obj, obj_id, score): best candidate per raw
-    symbol with score ≥ threshold.
+    Tier 1 — normalized-identifier exact join (case/separator variants:
+    ``computeTotal ≡ compute_total``): an equi-join, catches the common
+    case for free.
+    Tier 2 — MinHash-LSH blocking + hashing-encoder cosine re-rank for
+    the rest, with the candidate side **pre-blocked to (repo, 2-char
+    normalized prefix) groups that actually contain a query**: sketching
+    the full alias dictionary would dominate the whole stage (measured:
+    the dictionary is ~|corpus symbols| while unresolved queries are a
+    handful), and prefix-semi-join shrinks it to the blocks in play.
+
+    Operates on the *distinct* (repo, raw symbol) set, not per-triple.
+    Returns (repo, obj, obj_id, score): best candidate per raw symbol
+    with score ≥ threshold (tier-1 hits score 1.0).
     """
     def norm(col):
-        # identifier normalization: case/style separators are noise for
-        # symbol identity (computeTotal ≡ compute_total ≡ ComputeTotal)
         return F.regexp_replace(F.lower(col), "[_\\-]", "")
 
-    qs = (
-        unresolved.select("repo", "obj")
+    q0 = (
+        unresolved.select("repo", "obj").distinct().withColumn("_n", norm(F.col("obj")))
+        .localCheckpoint()
+    )
+    a0 = (
+        alias.select(
+            F.col("a_repo").alias("repo"), F.col("a_alias").alias("alias"), "cand_id"
+        )
         .distinct()
-        .withColumn("_n", norm(F.col("obj")))
-        .transform(lambda d: with_minhash(d, text_col="_n", shingle_words=False))
+        .withColumn("_n", norm(F.col("alias")))
+        .localCheckpoint()
+    )
+
+    # tier 1: normalized exact
+    w1 = Window.partitionBy("repo", "obj").orderBy(F.col("cand_id"))
+    exact = (
+        q0.join(a0, on=["repo", "_n"], how="inner")
+        .withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") == 1)
+        .select("repo", "obj", F.col("cand_id").alias("obj_id"), F.lit(1.0).alias("score"))
+        .localCheckpoint()  # q_rest + the final union both re-reference this
+    )
+    q_rest = q0.join(exact.select("repo", "obj"), on=["repo", "obj"], how="left_anti").localCheckpoint()
+
+    # tier 2: LSH + cosine, candidates pre-blocked by query prefixes.
+    # a_blocked joins a0 against a q0/a0-derived subtree — without the
+    # checkpoints above Spark flags an ambiguous self-join here.
+    prefix = lambda c: F.substring(c, 1, 2)
+    q_blocks = q_rest.select("repo", prefix(F.col("_n")).alias("_p")).distinct()
+    a_blocked = a0.withColumn("_p", prefix(F.col("_n"))).join(
+        q_blocks, on=["repo", "_p"], how="left_semi"
+    ).localCheckpoint()
+    qs = (
+        q_rest.transform(lambda d: with_minhash(d, text_col="_n", shingle_words=False))
         .withColumn("q_emb", encode_text(F.col("_n")))
     )
     cands = (
-        alias.select("repo", "alias", F.col("cand_id"))
-        .distinct()
-        .withColumn("_n", norm(F.col("alias")))
-        .transform(lambda d: with_minhash(d, text_col="_n", shingle_words=False))
+        a_blocked.transform(lambda d: with_minhash(d, text_col="_n", shingle_words=False))
         .withColumn("c_emb", encode_text(F.col("_n")))
     )
     q_bands = explode_bands(qs, ["repo", "obj", "q_emb"])
@@ -197,8 +242,9 @@ def _fuzzy_link(unresolved: DataFrame, alias: DataFrame, threshold: float) -> Da
         .filter(F.col("score") >= threshold)
     )
     w = Window.partitionBy("repo", "obj").orderBy(F.desc("score"), F.col("cand_id"))
-    return (
+    lsh = (
         pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("repo", "obj", F.col("cand_id").alias("obj_id"), "score")
     )
+    return exact.unionByName(lsh)

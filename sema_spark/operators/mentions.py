@@ -68,6 +68,20 @@ PATTERN_BANK: dict[str, list[tuple[str, str]]] = {
         ("def_method", r"^    fn (\w+)\("),
         ("call", r"= (\w+)\("),
     ],
+    "go": [
+        ("import", r'^import "repo/(\w+)"'),
+        ("def_fn", r"^func (\w+)\("),
+        ("def_class", r"^type (\w+) struct"),
+        ("def_method", r"^func \(\w+ \w+\) (\w+)\("),
+        ("call", r":= (\w+)\("),
+    ],
+    "java": [
+        ("import", r"^import repo\.(\w+);"),
+        ("def_fn", r"^  static int (\w+)\("),
+        ("def_class", r"^public class (\w+)"),
+        ("def_method", r"^  int (\w+)\("),
+        ("call", r"= (\w+)\("),
+    ],
 }
 
 # File-level class pattern (single pass over content, multiline): a
@@ -76,6 +90,8 @@ CLASS_PATTERN = {
     "py": r"(?m)^class (\w+)",
     "js": r"(?m)^class (\w+)",
     "rs": r"(?m)^struct (\w+)",
+    "go": r"(?m)^type (\w+) struct",
+    "java": r"(?m)^public class (\w+)",
 }
 
 _KIND_PRED = {
