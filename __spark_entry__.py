@@ -158,7 +158,15 @@ def q_j3_broadcast_join(spark, sf):
 
 
 def q_tpch_q1_pricing(spark, sf):
-    """TPC-H Q1 shape: multi-agg with exact decimal sums."""
+    """TPC-H Q1 shape: multi-agg with exact decimal sums.
+
+    avg_qty is computed round-half-up at scale 4 in pure int64
+    arithmetic (floor((2N + c) / 2c) with N = sum_qty*10^4) and only
+    then divided by 10000.0 — never round() a double born from a
+    decimal division: Spark rounds the shortest-repr BigDecimal while
+    DuckDB rounds the raw binary value, and they disagree on
+    representation ties (the round-1 hash mismatch).
+    """
     li = _table(spark, sf, "lineitem")
     d = lambda c: F.col(c).cast("decimal(18,2)")
     return (
@@ -170,6 +178,7 @@ def q_tpch_q1_pricing(spark, sf):
             F.sum((d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount"))).cast("decimal(28,6)")).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
+        .withColumn("_n", (F.col("sum_qty") * 10000).cast("long"))
         .select(
             "l_returnflag",
             "l_linestatus",
@@ -177,7 +186,7 @@ def q_tpch_q1_pricing(spark, sf):
             "sum_base_price",
             "sum_disc_price",
             "count_order",
-            F.round(F.col("sum_qty").cast("double") / F.col("count_order"), 4).alias("avg_qty"),
+            (F.expr("(2 * _n + count_order) DIV (2 * count_order)") / F.lit(10000.0)).alias("avg_qty"),
         )
     )
 
@@ -279,28 +288,33 @@ def q_s4_posting_list(spark, sf):
 
 def q_a4_bm25_search(spark, sf):
     """A4/entry-point-C: BM25 ranking for query {spark, join} from the
-    posting list — idf/df from aggregates, k1=1.2 b=0.75."""
+    posting list — idf/df from aggregates, k1=1.2 b=0.75.
+
+    ONE driver action: corpus stats (n_docs, avgdl) are a 1-row aggregate
+    DataFrame crossJoin-broadcast into the scoring plan — no count() /
+    collect() pre-passes (round 1 rescanned documents 3x; at 100x scale
+    that's 3 full corpus reads)."""
     posting = q_s4_posting_list(spark, sf)
     docs = _docs(spark, sf)
-    n_docs = docs.count()
     dl = docs.select(
         "doc_id", F.size(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != "")).alias("dl")
     )
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     qterms = ["spark", "join"]
     df_ = posting.filter(F.col("term").isin(qterms)).groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
         posting.filter(F.col("term").isin(qterms))
         .join(F.broadcast(df_), "term")
         .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
         .withColumn(
-            "idf", F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            "idf", F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
         )
         .withColumn(
             "s",
             F.col("idf")
             * (F.col("tf") * 2.2)
-            / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.lit(float(avgdl)))),
+            / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
         )
     )
     return (
@@ -363,9 +377,12 @@ def q_set_except(spark, sf):
 def q_events_windowed_agg(spark, sf):
     """Tumbling 1-hour window aggregation (streaming-style, batch run)."""
     ev = _table(spark, sf, "events")
+    # value is exactly 2-decimal in the test data, so decimal(18,2) is a
+    # tie-free cast in both engines and the sum is EXACT — double sums
+    # drift with partial-agg addition order (round-1 sessionization bug).
     return (
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"))
     )
 
 
@@ -448,7 +465,8 @@ def q_sessionization(spark, sf):
     )
     return sessions.groupBy("user_id", "session_idx").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("session_value"),
+        # exact decimal sum — double sums drift cross-engine (round 1)
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("session_value"),
     )
 
 
@@ -707,7 +725,8 @@ def oracle_sql() -> dict[str, str]:
                        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
                        as decimal(28,6))) as sum_disc_price,
                    count(*) as count_order,
-                   round(cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*), 4) as avg_qty
+                   ((2 * cast(sum(cast(l_quantity as decimal(18,2))) * 10000 as bigint) + count(*))
+                      // (2 * count(*))) / 10000.0 as avg_qty
             from lineitem
             where l_shipdate <= timestamp '1998-09-02'
             group by l_returnflag, l_linestatus
@@ -842,7 +861,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_windowed_agg": """
             select date_trunc('hour', ts) as hour, event_type,
-                   count(*) as n, round(sum(value), 2) as sum_value
+                   count(*) as n, sum(cast(value as decimal(18,2))) as sum_value
             from events group by 1, 2
         """,
         "rollup_counts": """
@@ -908,7 +927,7 @@ def oracle_sql() -> dict[str, str]:
                              rows between unbounded preceding and current row) as session_idx
               from g)
             select user_id, session_idx, count(*) as n_events,
-                   round(sum(value), 2) as session_value
+                   sum(cast(value as decimal(18,2))) as session_value
             from s group by user_id, session_idx
         """,
         "curation_pipeline": rf"""

@@ -110,46 +110,41 @@ def lsh_bands(sig: Column, bands: int = LSH_BANDS, num_perm: int = NUM_PERM) -> 
     )
 
 
-def make_signature_udf(shingle_words: bool = True, num_perm: int = NUM_PERM):
-    """Arrow-batched numpy minhash — the alternative to the built-in HOF
-    path.  Per CORE numpy is ~25x faster (HOF lambdas are interpreted,
-    not codegen'd: 10s vs 0.4s for 5k docs single-core), but once the
-    input is spread across partitions the HOF path matched or beat it at
-    this corpus' token counts (Python-worker + Arrow transfer overhead),
-    so HOF stays the default; flip ``use_arrow=True`` for token-heavy
-    documents.  Token hash is crc32 (stable across processes), so
-    signatures differ in VALUE from the HOF path but satisfy the same
-    minhash contract; both paths are property-tested.
-    """
-    import re
-    import zlib
+def token_base_hashes(tokens: Column) -> Column:
+    """array<bigint>: ``xxhash64(token) mod 2^31`` per token — the single
+    JVM-side pass shared by BOTH signature paths, which is what makes the
+    Arrow path value-identical to the HOF path."""
+    return F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(_H_SPACE)))
 
+
+def signature_from_hashes_udf(num_perm: int = NUM_PERM):
+    """Arrow-batched numpy permutation-min over precomputed base hashes.
+
+    The hybrid fast path: Spark computes one xxhash64 per token (a single
+    interpreted-HOF pass), numpy does the num_perm×tokens permutation
+    grid that made the pure-HOF path the round-1 bench hotspot (HOF
+    lambdas are interpreted, not codegen'd — 64 interpreted passes,
+    ~2ms/doc/core measured).  Identical arithmetic in uint64 —
+    ``(a*h+b) mod P mod 2^31`` with a,h < 2^31 so a*h+b < 2^63 never
+    overflows — makes it VALUE-IDENTICAL to :func:`minhash_signature`
+    (asserted in tests/test_minhash_paths.py), so flipping paths can
+    never change dedup results."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
     a_co, b_co = _coefficients(num_perm)
-    A = np.array(a_co, dtype=np.uint64)
-    B = np.array(b_co, dtype=np.uint64)
-    word_re = re.compile(r"[^a-z0-9]+")
-    sentinel = np.full(num_perm, _P, dtype=np.uint64)
+    A = np.array(a_co, dtype=np.uint64)[:, None]
+    B = np.array(b_co, dtype=np.uint64)[:, None]
+    sentinel = [int(_P)] * num_perm
 
-    def tokens_of(text: str):
-        t = text.lower()
-        if shingle_words:
-            return {x for x in word_re.split(t) if x}
-        return {t[i : i + 3] for i in range(max(len(t) - 2, 0))}
-
-    def sig_one(text) -> list[int]:
-        if text is None:
-            return [int(x) for x in sentinel]
-        toks = tokens_of(text)
-        if not toks:
-            return [int(x) for x in sentinel]
-        h = np.array([zlib.crc32(tk.encode()) % _H_SPACE for tk in toks], dtype=np.uint64)
-        m = (np.outer(A, h) + B[:, None]) % _P % _H_SPACE
-        return [int(x) for x in m.min(axis=1)]
+    def sig_one(hashes) -> list[int]:
+        if hashes is None or len(hashes) == 0:
+            return sentinel
+        h = np.asarray(hashes, dtype=np.uint64)[None, :]
+        m = (A * h + B) % _P % _H_SPACE
+        return m.min(axis=1).astype(np.int64).tolist()
 
     # no type hints: they'd be unresolvable strings in this local scope
     def _impl(s):
@@ -164,12 +159,17 @@ def with_minhash(
     shingle_words: bool = True,
     num_perm: int = NUM_PERM,
     bands: int = LSH_BANDS,
-    use_arrow: bool = False,
+    use_arrow: bool = True,
 ) -> DataFrame:
+    """Add mh_sig + mh_bands.  Both paths produce IDENTICAL signatures;
+    the Arrow hybrid is the default (the pure-HOF path was the round-1
+    bench hotspot), the HOF path remains as the no-Python-workers option
+    and as the independent implementation the equality test checks
+    against."""
+    tokens = tokenize(text_col) if shingle_words else char_shingles(text_col)
     if use_arrow:
-        sig = make_signature_udf(shingle_words, num_perm)(F.col(text_col))
+        sig = signature_from_hashes_udf(num_perm)(token_base_hashes(tokens))
     else:
-        tokens = tokenize(text_col) if shingle_words else char_shingles(text_col)
         sig = minhash_signature(tokens, num_perm)
     return df.withColumn("mh_sig", sig).withColumn(
         "mh_bands", lsh_bands(F.col("mh_sig"), bands, num_perm)

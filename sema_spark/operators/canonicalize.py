@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from sema_spark.plans.materialize import materialize
 
 
 def _contract(e: DataFrame, rounds: int = 2):
@@ -37,7 +38,7 @@ def _contract(e: DataFrame, rounds: int = 2):
             e.groupBy("x")
             .agg(F.min("y").alias("mn"))
             .select("x", F.least(F.col("x"), F.col("mn")).alias("l"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         mappings.append(lab)
         la = lab.select(F.col("x").alias("_xa"), F.col("l").alias("_la"))
@@ -48,7 +49,7 @@ def _contract(e: DataFrame, rounds: int = 2):
             .select(F.col("_la").alias("x"), F.col("_lb").alias("y"))
             .filter(F.col("x") != F.col("y"))
         )
-        e = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct().localCheckpoint()
+        e = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct().transform(materialize)
     return e, mappings
 
 
@@ -114,7 +115,7 @@ def connected_components(
         .union(e.select(F.col("y").alias("id")))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint()
+        .transform(materialize)
     )
 
     def fingerprint(c: DataFrame) -> int:
@@ -139,7 +140,7 @@ def connected_components(
         new_comp = (
             hop.join(parent, hop["component"] == parent["pid"], "left")
             .select("id", F.coalesce(F.least("pcomp", "component"), F.col("component")).alias("component"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         new_fp = fingerprint(new_comp)
         comp = new_comp

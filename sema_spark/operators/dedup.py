@@ -40,7 +40,8 @@ from sema_spark.functions.minhash import (
     with_minhash,
 )
 from sema_spark.functions.text import content_fingerprint
-from sema_spark.functions.vector import cosine
+from sema_spark.plans.materialize import materialize
+from sema_spark.functions.vector import cosine, cosine_arrow
 from sema_spark.operators.canonicalize import connected_components
 
 
@@ -93,7 +94,7 @@ def minhash_candidate_pairs(
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id"),
         text_col="t",
         bands=choose_bands(threshold),
-    ).select("id", "mh_sig", "mh_bands").localCheckpoint()
+    ).select("id", "mh_sig", "mh_bands").transform(materialize)
     bands = explode_bands(mh, ["id"])
     cap = Window.partitionBy("band", "bh").orderBy("id")
     capped = (
@@ -119,18 +120,70 @@ def minhash_candidate_pairs(
     return pairs
 
 
-def minhash_dedup(
-    df: DataFrame, id_col: str = "id", text_col: str = "text", threshold: float = 0.7
-) -> DataFrame:
-    """df minus near-duplicates (per CC over candidate pairs; min id kept)."""
-    pairs = minhash_candidate_pairs(df, id_col, text_col, threshold)
-    comp = connected_components(
-        pairs.select(F.col("a").cast("string"), F.col("b").cast("string"))
-    )
+def _drop_cc_losers(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Remove every non-survivor of the duplicate-pair graph from df.
+
+    connected_components picks the LEXICOGRAPHIC min string as the
+    representative, so numeric ids are zero-padded first (19 digits =
+    max int64 width) — otherwise a component {9, 10} would keep 10 and
+    violate the documented 'numeric min id kept' contract."""
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 19, "0")
+    comp = connected_components(pairs.select(pad("a").alias("a"), pad("b").alias("b")))
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").cast("long").alias("_loser")
     )
     return df.join(losers, df[id_col] == F.col("_loser"), "left_anti")
+
+
+def minhash_dup_edges(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Verified duplicate-graph edges in O(Σ bucket), not O(Σ bucket²).
+
+    Per LSH bucket emit STAR edges (bucket-min-id hub → member), then
+    keep edges whose signature Jaccard ≥ threshold.  Dedup is the
+    transitive closure of verified similarity, so the star spans the
+    same components as the full within-bucket clique whenever hub links
+    verify — and it is the only shape that survives boilerplate-heavy
+    corpora: this repo's own sf0.1 documents table is ~86% near-dups and
+    full pair enumeration produced 2.4M candidate pairs from 5k docs
+    (measured 25s; the star path is ~6x faster and at 100 TB it is the
+    difference between O(N) and O(N²/buckets) edges).  The complete
+    pair-enumeration API remains :func:`minhash_candidate_pairs` (the
+    bounded re-rank path)."""
+    mh = with_minhash(
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id"),
+        text_col="t",
+        bands=choose_bands(threshold),
+    ).select("id", "mh_sig", "mh_bands").transform(materialize)
+    bands = explode_bands(mh, ["id"])
+    w = Window.partitionBy("band", "bh")
+    edges = (
+        bands.withColumn("hub", F.min("id").over(w))
+        .filter(F.col("id") != F.col("hub"))
+        .select("hub", "id")
+        .distinct()
+    )
+    sig = mh.select("id", "mh_sig")
+    return (
+        edges.join(sig.select(F.col("id").alias("hub"), F.col("mh_sig").alias("sig_a")), "hub")
+        .join(sig.select(F.col("id").alias("id"), F.col("mh_sig").alias("sig_b")), "id")
+        .withColumn("est_jaccard", estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("hub").alias("a"), F.col("id").alias("b"), "est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str = "id", text_col: str = "text", threshold: float = 0.7
+) -> DataFrame:
+    """df minus near-duplicates (per CC over verified star edges; min id
+    kept)."""
+    pairs = minhash_dup_edges(df, id_col, text_col, threshold)
+    return _drop_cc_losers(df, pairs, id_col)
 
 
 # -------------------------------------------------------------------- simhash
@@ -163,6 +216,37 @@ def simhash(col, num_bits: int = 64):
     )
 
 
+def simhash_from_hashes_udf(num_bits: int = 64):
+    """Arrow-batched numpy sign-sum over precomputed token xxhash64
+    values → bit string.  VALUE-IDENTICAL to :func:`simhash` (asserted
+    in tests/test_minhash_paths.py): ``F.bin`` renders an int64 as its
+    two's-complement 64-bit pattern, which is exactly the uint64 view
+    numpy unpacks.  This replaces the round-1 hotspot — a 64-pass
+    interpreted aggregate per document — with one JVM hash pass plus a
+    vectorized bit-count."""
+
+    from pyspark.sql.types import StringType
+
+    def sh_one(hashes) -> str:
+        if hashes is None or len(hashes) == 0:
+            return "0" * num_bits
+        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        bits = np.unpackbits(h.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
+        sums = (2 * bits[:, :num_bits].astype(np.int64) - 1).sum(axis=0)
+        return "".join("1" if v > 0 else "0" for v in sums)
+
+    def _impl(s):
+        return s.map(sh_one)
+
+    return pandas_udf(_impl, StringType())
+
+
+def simhash_arrow(col, num_bits: int = 64):
+    """Fast-path simhash: one JVM xxhash64 pass + numpy sign-sum."""
+    hashes = F.transform(tokenize(col), lambda t: F.xxhash64(t))
+    return simhash_from_hashes_udf(num_bits)(hashes)
+
+
 def hamming_bits(a, b, num_bits: int = 64):
     """Hamming distance between equal-length bit strings (JVM-side)."""
     return F.aggregate(
@@ -176,13 +260,18 @@ def hamming_bits(a, b, num_bits: int = 64):
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str = "id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by simhash: block on 4 x 16-bit bands (any pair with
     Hamming ≤ 3 over 64 bits must agree exactly on ≥ 1 of 4 bands), then
-    exact Hamming filter."""
+    exact Hamming filter.  Both signature paths are value-identical."""
+    sig = simhash_arrow if use_arrow else simhash
     sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id").select(
-        "id", simhash(F.col("t")).alias("sh")
+        "id", sig(F.col("t")).alias("sh")
     )
     bands = sh.select(
         "id",
@@ -196,7 +285,7 @@ def simhash_pairs(
                 ),
             )
         ).alias("b"),
-    ).select("id", "sh", F.col("b.band").alias("band"), F.col("b.key").alias("key")).localCheckpoint()
+    ).select("id", "sh", F.col("b.band").alias("band"), F.col("b.key").alias("key")).transform(materialize)
     l, r = bands.alias("l"), bands.alias("r")
     return (
         l.join(r, on=["band", "key"])
@@ -211,11 +300,53 @@ def simhash_pairs(
     )
 
 
+def simhash_dup_edges(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Verified duplicate-graph star edges for simhash (same O(Σ bucket)
+    rationale as :func:`minhash_dup_edges`): per 16-bit band bucket, link
+    members to the bucket-min-id hub, keep links with Hamming ≤ max."""
+    sig = simhash_arrow if use_arrow else simhash
+    sh = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id")
+        .select("id", sig(F.col("t")).alias("sh"))
+        .transform(materialize)
+    )
+    bands = sh.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda j: F.struct(
+                    j.cast("int").alias("band"),
+                    F.col("sh").substr(j * 16 + 1, F.lit(16)).alias("key"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    w = Window.partitionBy("band", "key")
+    edges = (
+        bands.withColumn("hub", F.min("id").over(w))
+        .filter(F.col("id") != F.col("hub"))
+        .select("hub", "id")
+        .distinct()
+    )
+    return (
+        edges.join(sh.select(F.col("id").alias("hub"), F.col("sh").alias("sh_a")), "hub")
+        .join(sh.select(F.col("id").alias("id"), F.col("sh").alias("sh_b")), "id")
+        .withColumn("hamming", hamming_bits(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("hub").alias("a"), F.col("id").alias("b"), "hamming")
+    )
+
+
 def simhash_dedup(df: DataFrame, id_col: str = "id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    pairs = simhash_pairs(df, id_col, text_col, max_hamming)
-    comp = connected_components(pairs.select(F.col("a").cast("string"), F.col("b").cast("string")))
-    losers = comp.filter(F.col("id") != F.col("component")).select(F.col("id").cast("long").alias("_loser"))
-    return df.join(losers, df[id_col] == F.col("_loser"), "left_anti")
+    pairs = simhash_dup_edges(df, id_col, text_col, max_hamming)
+    return _drop_cc_losers(df, pairs, id_col)
 
 
 # ------------------------------------------------------------- ngram jaccard
@@ -284,10 +415,19 @@ def embedding_dup_pairs(
     then exact cosine re-rank.  High thresholds keep blocking recall
     honest: at cos ≥ 0.95 the probability all 16 sign bits agree is
     (1 - arccos(0.95)/π)^16 ≈ 0.27 per band; we use 4 rotated bands of the
-    sketch bits via bit-rotation keys to boost recall."""
+    sketch bits via bit-rotation keys to boost recall.
+
+    Shuffle discipline (mirrors minhash_candidate_pairs): the band
+    self-join and pair dedup run on SLIM (id, band, key) rows — the
+    embedding array never enters the exploded-band shuffle (round 1
+    pushed 4 copies of every vector through it and ran distinct() over
+    float-array rows); vectors rejoin by id only for the deduped
+    candidate pairs."""
     sk = hyperplane_sketch(dim, num_bits)
-    base = _spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id").withColumn(
-        "sk", sk(F.col("v"))
+    base = (
+        _spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id")
+        .withColumn("sk", sk(F.col("v")))
+        .transform(materialize)
     )
     # 4 bands: overlapping half-width windows of the sketch bits → ORed
     # recall.  Arithmetic div/mod instead of bit shifts (the Python API
@@ -295,7 +435,6 @@ def embedding_dup_pairs(
     half = 1 << (num_bits // 2)
     bands = base.select(
         "id",
-        "v",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(3)),
@@ -308,15 +447,22 @@ def embedding_dup_pairs(
                 ),
             )
         ).alias("b"),
-    ).select("id", "v", F.col("b.band").alias("band"), F.col("b.key").alias("key")).localCheckpoint()
+    ).select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     l, r = bands.alias("l"), bands.alias("r")
-    return (
+    cand = (
         l.join(r, on=["band", "key"])
         .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), F.col("l.v").alias("va"), F.col("r.v").alias("vb"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
         .distinct()
-        .withColumn("cos", cosine("va", "vb"))
+    )
+    vec = base.select("id", "v")
+    return (
+        cand.join(vec.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+        .join(vec.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
+        # Arrow cosine: the blocked candidate set is bulk (random 8-bit
+        # band collisions alone are ~N²/256 pairs) — interpreted HOF
+        # cosine was 8s of this query's 8.5s at sf0.1
+        .withColumn("cos", cosine_arrow("va", "vb"))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))
-        .distinct()
     )

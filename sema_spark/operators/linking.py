@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from sema_spark.functions.encoder import encode_text
 from sema_spark.functions.minhash import explode_bands, with_minhash
 from sema_spark.functions.vector import cosine
+from sema_spark.plans.materialize import materialize
 
 LINK_PREDS = ("calls", "imports")
 COSINE_THRESHOLD = 0.55
@@ -117,7 +118,7 @@ def link_triples(
         F.col("alias").alias("a_alias"),
         F.col("entity_id").alias("cand_id"),
         F.col("kind").alias("cand_kind"),
-    ).localCheckpoint()
+    ).transform(materialize)
     alias_j = F.broadcast(alias) if broadcast else alias
 
     passthrough = triples.filter(~F.col("pred").isin(*LINK_PREDS)).select(
@@ -133,7 +134,7 @@ def link_triples(
         alias_j,
         on=[F.col("repo") == F.col("a_repo"), F.col("obj") == F.col("a_alias")],
         how="left",
-    ).select(*[raw[c] for c in key_cols], "cand_id", "cand_kind").localCheckpoint()
+    ).select(*[raw[c] for c in key_cols], "cand_id", "cand_kind").transform(materialize)
     resolved = _pick_best_alias(joined.filter(F.col("cand_id").isNotNull()), key_cols).select(
         *key_cols,
         F.col("cand_id").alias("obj_id"),
@@ -143,7 +144,7 @@ def link_triples(
     unresolved = joined.filter(F.col("cand_id").isNull()).select(*key_cols).distinct()
 
     if fuzzy:
-        fuzzy_links = _fuzzy_link(unresolved, alias, cosine_threshold).localCheckpoint()
+        fuzzy_links = _fuzzy_link(unresolved, alias, cosine_threshold).transform(materialize)
         unresolved = unresolved.join(
             fuzzy_links.select("repo", "obj", F.lit(1).alias("_hit")), on=["repo", "obj"], how="left_anti"
         )
@@ -194,7 +195,7 @@ def _fuzzy_link(unresolved: DataFrame, alias: DataFrame, threshold: float) -> Da
 
     q0 = (
         unresolved.select("repo", "obj").distinct().withColumn("_n", norm(F.col("obj")))
-        .localCheckpoint()
+        .transform(materialize)
     )
     a0 = (
         alias.select(
@@ -202,7 +203,7 @@ def _fuzzy_link(unresolved: DataFrame, alias: DataFrame, threshold: float) -> Da
         )
         .distinct()
         .withColumn("_n", norm(F.col("alias")))
-        .localCheckpoint()
+        .transform(materialize)
     )
 
     # tier 1: normalized exact
@@ -212,9 +213,9 @@ def _fuzzy_link(unresolved: DataFrame, alias: DataFrame, threshold: float) -> Da
         .withColumn("_rn", F.row_number().over(w1))
         .filter(F.col("_rn") == 1)
         .select("repo", "obj", F.col("cand_id").alias("obj_id"), F.lit(1.0).alias("score"))
-        .localCheckpoint()  # q_rest + the final union both re-reference this
+        .transform(materialize)  # q_rest + the final union both re-reference this
     )
-    q_rest = q0.join(exact.select("repo", "obj"), on=["repo", "obj"], how="left_anti").localCheckpoint()
+    q_rest = q0.join(exact.select("repo", "obj"), on=["repo", "obj"], how="left_anti").transform(materialize)
 
     # tier 2: LSH + cosine, candidates pre-blocked by query prefixes.
     # a_blocked joins a0 against a q0/a0-derived subtree — without the
@@ -223,7 +224,7 @@ def _fuzzy_link(unresolved: DataFrame, alias: DataFrame, threshold: float) -> Da
     q_blocks = q_rest.select("repo", prefix(F.col("_n")).alias("_p")).distinct()
     a_blocked = a0.withColumn("_p", prefix(F.col("_n"))).join(
         q_blocks, on=["repo", "_p"], how="left_semi"
-    ).localCheckpoint()
+    ).transform(materialize)
     qs = (
         q_rest.transform(lambda d: with_minhash(d, text_col="_n", shingle_words=False))
         .withColumn("q_emb", encode_text(F.col("_n")))

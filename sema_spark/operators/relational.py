@@ -73,25 +73,34 @@ def asof_join(
     """Left as-of join: every left row + the most recent right values at
     or before its timestamp (nulls when no prior right row exists).
 
-    Plan shape: union the two sides tagged, window ``last(value,
+    Plan shape: union the two sides tagged, window ``last(struct,
     ignorenulls)`` per key ordered by (ts, side) with right rows sorting
     before left rows at equal timestamps (ASOF '<=' semantics), then
     keep the left rows.  One shuffle on key; scales as a plain window.
+
+    The fill carries ONE struct per right ROW (never per value column):
+    filling each value column independently would skip right rows whose
+    value is legitimately NULL and could even stitch values from
+    *different* right rows — true ASOF semantics return all values from
+    the single most recent right row, NULLs included.
     """
     lcols = [c for c in left.columns]
+    vrow_type = "struct<" + ",".join(
+        f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols
+    ) + ">"
     l_tagged = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*lcols).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+        F.lit(None).cast(vrow_type).alias("_vrow"),
     )
     r_tagged = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("_vrow"),
     )
     w = (
         Window.partitionBy("_k")
@@ -99,14 +108,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tagged.unionByName(r_tagged).select(
-        "_k",
-        "_ts",
         "_side",
         "_lrow",
-        *[F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"_f_{c}") for c in value_cols],
+        F.last("_vrow", ignorenulls=True).over(w).alias("_frow"),
     )
     out = filled.filter(F.col("_side") == 1).select(
         *[F.col(f"_lrow.{c}").alias(c) for c in lcols],
-        *[F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        *[F.col(f"_frow.{c}").alias(f"{c}{suffix}") for c in value_cols],
     )
     return out

@@ -33,11 +33,17 @@ _DEFAULTS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
-# Shuffle/spill files on tmpfs when available: the sandbox's /tmp sits on
-# a virtual disk whose bandwidth is a *serial* resource that caps shuffle
-# scaling.  On a real cluster this is the NVMe-backed local-dir default.
-if os.path.isdir("/dev/shm"):
-    _DEFAULTS["spark.local.dir"] = "/dev/shm/spark-local"
+def _want_tmpfs_local_dir(local_master: bool, extra_conf: dict[str, str]) -> bool:
+    """Shuffle/spill on tmpfs ONLY for local-mode runs (or when forced via
+    SPARK_GRAFT_TMPFS_SHUFFLE=1): the sandbox's /tmp is a slow virtual disk
+    whose serial bandwidth caps shuffle scaling.  On a real cluster the
+    local dirs come from spark-submit / the node manager (NVMe-backed) and
+    silently overriding them with RAM-backed tmpfs would defeat spill."""
+    if "spark.local.dir" in extra_conf or "SPARK_LOCAL_DIRS" in os.environ:
+        return False
+    if os.environ.get("SPARK_GRAFT_TMPFS_SHUFFLE") == "1":
+        return True
+    return local_master and os.environ.get("SPARK_GRAFT_TMPFS_SHUFFLE") != "0"
 
 
 def get_spark(
@@ -63,8 +69,12 @@ def get_spark(
         os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{prev}" if prev else repo_root
     builder = SparkSession.builder.appName(app_name)
     builder = builder.config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
-    if not os.environ.get("SPARK_MASTER_SET"):
+    local_master = not os.environ.get("SPARK_MASTER_SET")
+    if local_master:
         builder = builder.master(f"local[{cores}]")
+    extra_conf = extra_conf or {}
+    if os.path.isdir("/dev/shm") and _want_tmpfs_local_dir(local_master, extra_conf):
+        builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in {**_DEFAULTS, **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -62,10 +62,19 @@ def _lineage_dir(base: str, stage: str) -> str:
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Empty frame ONLY for a genuinely absent path ('no checkpoint yet').
+
+    Any other failure (corruption, permissions, transient storage error)
+    must propagate: swallowing it would silently reprocess and re-append
+    every file on the next incremental run."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(schema).parquet(path)
-    except Exception:
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def read_checkpoint_log(spark: SparkSession, base: str, stage: str) -> DataFrame:
@@ -277,16 +286,47 @@ def read_lineage(spark: SparkSession, base: str, stage: str) -> DataFrame:
     return _read_or_empty(spark, _lineage_dir(base, stage), LINEAGE)
 
 
-def compact(spark: SparkSession, base: str, stage: str) -> None:
+def _swap_dir(spark: SparkSession, tmp: str, live: str) -> None:
+    """Replace ``live`` with ``tmp`` via Hadoop FileSystem renames.
+    Directory rename is atomic on HDFS and posix filesystems; on object
+    stores the catalog layer (Iceberg) owns this — documented caveat."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(live).getFileSystem(spark._jsc.hadoopConfiguration())
+    old = hpath(live + ".old")
+    fs.delete(old, True)
+    if fs.exists(hpath(live)):
+        if not fs.rename(hpath(live), old):
+            raise IOError(f"compact: could not move {live} aside")
+    if not fs.rename(hpath(tmp), hpath(live)):
+        raise IOError(f"compact: could not move {tmp} into place")
+    fs.delete(old, True)
+
+
+def compact(spark: SparkSession, base: str, stage: str) -> str:
     """Maintenance: rewrite the log-structured stage into a single live
-    snapshot (one run), dropping superseded/orphan rows.  Not part of the
-    hot path; the analogue of Iceberg's rewrite_data_files."""
-    live = read_stage_output(spark, base, stage)
-    ckpt = current_checkpoint(spark, base, stage)
+    run, dropping superseded/orphan/tombstoned rows, then SWAP the
+    rewritten data+checkpoint dirs over the live ones (the analogue of
+    Iceberg's rewrite_data_files + snapshot expiry).  Handles both
+    incremental and snapshot stages.  Not safe under concurrent readers
+    of the same stage — run from the maintenance schedule, like any
+    table-format rewrite.  Returns the compacted run_id."""
     rid = new_run_id()
-    live_new = live.withColumn("run_id", F.lit(rid))
-    live_new.write.mode("overwrite").partitionBy("run_id").parquet(_data_dir(base, stage) + "_compact")
-    ckpt.withColumn("run_id", F.lit(rid)).write.mode("overwrite").parquet(
-        _ckpt_dir(base, stage) + "_compact"
-    )
-    # atomic-ish swap left to the catalog layer in a real deployment
+    last = _latest_commit(spark, base, stage)
+    if last is not None:  # snapshot stage: keep only the committed run
+        live = read_snapshot(spark, base, stage).withColumn("run_id", F.lit(rid))
+        ckpt_new = spark.createDataFrame(
+            [(stage, _COMMIT_MARK, _COMMIT_MARK, last.content_sha, rid)], _CKPT_RUN_SCHEMA
+        )
+    else:  # incremental stage: keep rows referenced by the live checkpoint
+        live = read_stage_output(spark, base, stage).withColumn("run_id", F.lit(rid))
+        ckpt_new = current_checkpoint(spark, base, stage).withColumn("run_id", F.lit(rid))
+    data_tmp = _data_dir(base, stage) + f".compacting-{rid}"
+    ckpt_tmp = _ckpt_dir(base, stage) + f".compacting-{rid}"
+    live.write.mode("overwrite").partitionBy("run_id").parquet(data_tmp)
+    ckpt_new.write.mode("overwrite").parquet(ckpt_tmp)
+    # data first, checkpoint second: between the two renames readers see
+    # (old checkpoint ⋈ new data) = ∅ rather than phantom rows
+    _swap_dir(spark, data_tmp, _data_dir(base, stage))
+    _swap_dir(spark, ckpt_tmp, _ckpt_dir(base, stage))
+    return rid

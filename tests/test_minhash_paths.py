@@ -1,26 +1,32 @@
-"""Both minhash signature paths (built-in HOF and Arrow/numpy) satisfy
-the minhash contract; values intentionally differ (different token
-hash), behavior must not."""
+"""Both minhash signature paths (built-in HOF and the Arrow/numpy
+hybrid) must produce IDENTICAL signature values — the base hash is the
+same JVM-side xxhash64 pass, so flipping paths can never change dedup
+results.  Same contract for the two simhash paths."""
 
 import pytest
 from pyspark.sql import functions as F
 
-from sema_spark.functions.minhash import estimated_jaccard, tokenize, with_minhash
+from sema_spark.functions.minhash import estimated_jaccard, with_minhash
+from sema_spark.operators.dedup import simhash, simhash_arrow
+
+ROWS = [
+    ("a", "the quick brown fox jumps over the lazy dog"),
+    ("b", "the quick brown fox jumps over the lazy dog"),
+    ("c", "the quick brown fox leaps over the lazy dog"),
+    ("d", "completely different words entirely unrelated text"),
+    ("e", None),
+    ("f", "   "),  # empty token set → sentinel signature
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(ROWS, "id string, content string")
 
 
 @pytest.mark.parametrize("use_arrow", [False, True])
-def test_minhash_contract(spark, use_arrow):
-    df = spark.createDataFrame(
-        [
-            ("a", "the quick brown fox jumps over the lazy dog"),
-            ("b", "the quick brown fox jumps over the lazy dog"),
-            ("c", "the quick brown fox leaps over the lazy dog"),
-            ("d", "completely different words entirely unrelated text"),
-            ("e", None),
-        ],
-        "id string, content string",
-    )
-    out = with_minhash(df, use_arrow=use_arrow)
+def test_minhash_contract(spark, docs, use_arrow):
+    out = with_minhash(docs, use_arrow=use_arrow)
     sigs = {r.id: r.mh_sig for r in out.select("id", "mh_sig").collect()}
     assert sigs["a"] == sigs["b"]  # identical sets → identical signatures
     assert all(len(s) == 64 for s in sigs.values())
@@ -30,5 +36,22 @@ def test_minhash_contract(spark, use_arrow):
     jac = [r.j for r in paired.select(estimated_jaccard("x", "y").alias("j")).collect()]
     assert jac[0] > 0.6 and jac[1] < 0.2
     # determinism across invocations
-    again = {r.id: r.mh_sig for r in with_minhash(df, use_arrow=use_arrow).select("id", "mh_sig").collect()}
+    again = {r.id: r.mh_sig for r in with_minhash(docs, use_arrow=use_arrow).select("id", "mh_sig").collect()}
     assert again == sigs
+
+
+def test_minhash_paths_value_identical(spark, docs):
+    hof = {r.id: r.mh_sig for r in with_minhash(docs, use_arrow=False).select("id", "mh_sig").collect()}
+    arrow = {r.id: r.mh_sig for r in with_minhash(docs, use_arrow=True).select("id", "mh_sig").collect()}
+    assert hof == arrow
+
+
+def test_simhash_paths_value_identical(spark, docs):
+    out = docs.select(
+        "id",
+        simhash(F.col("content")).alias("hof"),
+        simhash_arrow(F.col("content")).alias("arrow"),
+    ).collect()
+    for r in out:
+        assert r.hof == r.arrow, r.id
+        assert len(r.arrow) == 64 and set(r.arrow) <= {"0", "1"}

@@ -28,7 +28,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # FULL precision: the driver hashes values exactly; %.9g masked
+        # the round-1 tpch_q1/sessionization drift.  repr is shortest
+        # round-trip — bit-identical doubles ⇔ equal strings.
+        return repr(v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return str(v)
