@@ -23,6 +23,13 @@ from pyspark.sql import functions as F
 
 QUERY_LIMIT_K = 50  # reference top-k (src/tui/engine.rs:11)
 
+# sema_spark must import regardless of the driver's cwd (oracle_sql()
+# needs it even before any query ships the package to executors)
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+
 _PKG_SHIPPED: set[int] = set()
 
 
@@ -520,11 +527,15 @@ def q_dedup_simhash(spark, sf):
 
 
 def q_ngram_jaccard_pairs(spark, sf):
-    """Exact n-gram Jaccard pairs (LSH candidates re-ranked)."""
+    """Exact char-3-gram Jaccard ≥ 0.8 pairs (LSH candidates re-ranked).
+    Oracle: DuckDB computes the same measure over ALL pairs — equality
+    additionally proves the LSH candidate stage has full recall at this
+    threshold.  jaccard is emitted UNROUNDED: it is |∩|/|∪| of exact
+    ints, so both engines produce the bit-identical IEEE quotient."""
     from sema_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs(spark, sf), id_col="doc_id", text_col="text", threshold=0.8).select(
-        "a", "b", F.round("jaccard", 4).alias("jaccard")
+        "a", "b", "jaccard"
     )
 
 
@@ -537,27 +548,43 @@ def q_embedding_dedup_lsh(spark, sf):
 
 
 def q_ann_ivf_topk(spark, sf):
-    """IVF/LSH-bucketed ANN top-k (scale tier of q_j2_cosine_topk)."""
+    """IVF/LSH-bucketed ANN high-similarity lookup (scale tier of
+    q_j2_cosine_topk): coarse-quantize, multi-probe the query's buckets,
+    exact re-rank, keep hits with score ≥ 0.9.  On the augmented table
+    the planted duplicate shares every sketch bit with the query, so
+    bucket recall is guaranteed and the result is oracle-exact against
+    brute force.  (Unthresholded top-k recall over RANDOM vectors is a
+    recall-dial question, not an equality question — covered by the
+    recall test in tests/test_similarity.py.)"""
     from sema_spark.operators.similarity import ann_lsh_topk, build_lsh_index
 
-    emb = _table(spark, sf, "embeddings")
+    emb = _augmented_embeddings(spark, sf)
     qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
     index = build_lsh_index(emb, dim=64, num_bits=8)
-    return ann_lsh_topk(index, qvec, k=10, dim=64, num_bits=8, probes=8)
+    out = ann_lsh_topk(index, qvec, k=10, dim=64, num_bits=8, probes=8)
+    return out.filter(F.col("score") >= 0.9)
+
+
+KG_EXPECTED_DIR = "/tmp/sema_expected_kg_xs"
 
 
 def q_kg_pipeline_triples(spark, sf):
     """North-star stage 1 over the deterministic synthetic repo corpus
-    (synthesized in-memory; no external data).  Exact-P/R gate lives in
-    tests/test_mentions.py; here the driver checks stability."""
+    (synthesized in-memory; no external data).  Oracle: the
+    construction-time expected triple set (corpus.generate_corpus),
+    materialized to parquet for DuckDB — exact set equality, P/R = 1.0."""
     from sema_spark.corpus import corpus_df
     from sema_spark.operators.mentions import extract_triples
 
-    return extract_triples(corpus_df(spark, "xs")).select("subj", "pred", "obj", "line")
+    return extract_triples(corpus_df(spark, "xs")).select("subj", "pred", "obj").distinct()
 
 
 def q_kg_pipeline_edges(spark, sf):
-    """North-star stages 2+3: linked, canonicalized graph edges."""
+    """North-star stages 2+3: linked, canonicalized graph edges.
+    Oracle: corpus.expected_edges — an INDEPENDENT pure-Python
+    implementation of linking + canonicalization over the
+    construction-time triples, so the two implementations check each
+    other edge-for-edge."""
     from sema_spark.corpus import corpus_df
     from sema_spark.operators.canonicalize import canonical_edges, canonicalize_nodes
     from sema_spark.operators.linking import build_nodes, link_triples
@@ -566,7 +593,7 @@ def q_kg_pipeline_edges(spark, sf):
     triples = extract_triples(corpus_df(spark, "xs"))
     linked = link_triples(triples)
     nodes = canonicalize_nodes(build_nodes(triples))
-    return canonical_edges(linked, nodes).select("src", "pred", "dst")
+    return canonical_edges(linked, nodes).select("src", "pred", "dst").distinct()
 
 
 def q_curation_pipeline(spark, sf):
@@ -680,6 +707,12 @@ _REGISTRY = _build_registry()
 
 # ------------------------------------------------------------------ oracles
 def oracle_sql() -> dict[str, str]:
+    # The KG oracles diff against construction-time expected sets written
+    # as parquet (pure pyarrow, no Spark) — regenerated here so the files
+    # exist regardless of query/oracle execution order.
+    from sema_spark.corpus import write_expected_tables
+
+    write_expected_tables(KG_EXPECTED_DIR, "xs")
     en = r"\b(the|and|of|to|is|a)\b"
     de = r"\b(der|die|das|und|ist|ein)\b"
     fr = r"\b(le|la|les|et|est|un)\b"
@@ -929,6 +962,94 @@ def oracle_sql() -> dict[str, str]:
             select user_id, session_idx, count(*) as n_events,
                    sum(cast(value as decimal(18,2))) as session_value
             from s group by user_id, session_idx
+        """,
+        "dedup_simhash": r"""
+            -- full replication of operators/dedup.simhash_dedup: 60-bit
+            -- sha256-based simhash, 4x15-bit band hubs, Hamming<=3
+            -- verification, connected components, numeric-min survivor
+            with recursive toks as (
+              select doc_id, unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) as tok
+              from documents),
+            bitsum as (
+              select doc_id, i.i as i,
+                     sum(case when ((strpos('0123456789abcdef',
+                                            substr(sha256(tok), ((i.i-1)//4)+1, 1)) - 1)
+                              >> (3 - ((i.i-1)%4))) & 1 = 1 then 1 else -1 end) as s
+              from toks cross join (select unnest(range(1, 61)) as i) i
+              group by doc_id, i.i),
+            sh0 as (
+              select doc_id, string_agg(case when s > 0 then '1' else '0' end, '' order by i) as sh
+              from bitsum group by doc_id),
+            sh as (
+              select d.doc_id, coalesce(sh0.sh, repeat('0', 60)) as sh
+              from documents d left join sh0 on d.doc_id = sh0.doc_id),
+            bands as (
+              select doc_id, j.j as j, substr(sh, j.j*15+1, 15) as key
+              from sh cross join (select unnest(range(0, 4)) as j) j),
+            hubs as (
+              select doc_id, min(doc_id) over (partition by j, key) as hub from bands),
+            edges0 as (select distinct hub as a, doc_id as b from hubs where doc_id <> hub),
+            ham as (
+              select e.a, e.b,
+                     len(list_filter([substr(sa.sh, i, 1) <> substr(sb.sh, i, 1)
+                                      for i in range(1, 61)], x -> x)) as hamming
+              from edges0 e join sh sa on e.a = sa.doc_id join sh sb on e.b = sb.doc_id),
+            edges as (select a, b from ham where hamming <= 3),
+            sym as (select a, b from edges union select b, a from edges),
+            reach(id, anc) as (
+              select a, a from sym
+              union
+              select s.b, r.anc from reach r join sym s on s.a = r.id),
+            losers as (select id from reach group by id having min(anc) <> id)
+            select doc_id from documents where doc_id not in (select id from losers)
+        """,
+        "embedding_dedup_lsh": """
+            with aug as (
+              select vec_id, cast(embedding as double[]) as embedding from embeddings
+              union all
+              select vec_id + 100000,
+                     list_transform(embedding, x -> cast(cast(x * 1.001 as float) as double))
+              from embeddings where vec_id < 20)
+            select l.vec_id as a, r.vec_id as b,
+                   round(list_cosine_similarity(l.embedding, r.embedding), 6) as cos
+            from aug l join aug r on l.vec_id < r.vec_id
+            where list_cosine_similarity(l.embedding, r.embedding) >= 0.95
+        """,
+        "ann_ivf_topk": """
+            with aug as (
+              select vec_id, cast(embedding as double[]) as embedding from embeddings
+              union all
+              select vec_id + 100000,
+                     list_transform(embedding, x -> cast(cast(x * 1.001 as float) as double))
+              from embeddings where vec_id < 20)
+            select vec_id, score from (
+              select vec_id,
+                     round(list_cosine_similarity(embedding,
+                           (select embedding from aug where vec_id = 0)), 6) as score
+              from aug
+              order by score desc, vec_id limit 10)
+            where score >= 0.9
+        """,
+        "ngram_jaccard_pairs": """
+            with g as (
+              select doc_id,
+                     list_distinct([substr(lower(text), i, 3)
+                                    for i in range(1, greatest(length(text) - 2, 0) + 1)]) as grams
+              from documents),
+            p as (
+              select a.doc_id as a, b.doc_id as b,
+                     len(list_intersect(a.grams, b.grams)) as c,
+                     len(a.grams) + len(b.grams) as s
+              from g a join g b on a.doc_id < b.doc_id)
+            select a, b, c / cast(s - c as double) as jaccard
+            from p where c / cast(s - c as double) >= 0.8
+        """,
+        "kg_pipeline_triples": f"""
+            select subj, pred, obj from read_parquet('{KG_EXPECTED_DIR}/triples.parquet')
+        """,
+        "kg_pipeline_edges": f"""
+            select src, pred, dst from read_parquet('{KG_EXPECTED_DIR}/edges.parquet')
         """,
         "curation_pipeline": rf"""
             with feat as (

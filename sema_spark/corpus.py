@@ -259,6 +259,115 @@ def expected_triples_df(spark, scale: str = "xs"):
     return spark.createDataFrame(sorted(expected), schema)
 
 
+def expected_edges(scale: str = "xs") -> set[tuple[str, str, str]]:
+    """Construction-time truth for stages 2+3: the exact (src, pred, dst)
+    edge set the pipeline must emit for a scale, computed by an
+    INDEPENDENT pure-Python implementation of linking + canonicalization
+    (no Spark, no shared code with the operators).  Used as the driver
+    oracle for ``kg_pipeline_edges`` and by tests.
+
+    Replicates the documented operator semantics exactly:
+
+    * entities: every triple's file + defines/contains objects +
+      '#'-containing contains subjects (operators/linking.build_nodes);
+    * alias dict: symbol name for symbol entities, filename stem for
+      file entities (build_alias_dict);
+    * resolution for calls/imports: exact (repo, alias) match with
+      kind preference (imports→file, calls→symbol) then lexicographic
+      min entity id (_pick_best_alias); tier-1 normalized match
+      (lower, strip [_-]) if no exact; else ``ext:<sym>``.  The LSH
+      tier-2 is NOT modeled — a guard raises if any unresolved symbol
+      has candidates in its tier-2 prefix block, which this corpus
+      never produces;
+    * canonicalization: merge keys sha256(content) for files,
+      sha#lower(strip _)(symbol) for symbols; canonical id =
+      lexicographic min entity id per merge group
+      (operators/canonicalize.merge_key/canonicalize_nodes).
+    """
+    rows, triples = generate_corpus(scale)
+    sha = {f"{r.repo}/{r.path}": hashlib.sha256(r.content.encode()).hexdigest() for r in rows}
+
+    def file_of(entity: str) -> str:
+        return entity.split("#", 1)[0]
+
+    def repo_of(fp: str) -> str:
+        return "/".join(fp.split("/")[:2])
+
+    files: set[str] = set()
+    symbols: set[str] = set()
+    for s, p, o in triples:
+        files.add(file_of(s))
+        if p in ("defines", "contains"):
+            symbols.add(o)
+        if p == "contains" and "#" in s:
+            symbols.add(s)
+
+    alias: dict[tuple[str, str], list[tuple[str, str]]] = {}
+    for e in symbols:
+        alias.setdefault((repo_of(e), e.rsplit("#", 1)[1]), []).append((e, "symbol"))
+    for fp in files:
+        name = fp.rsplit("/", 1)[-1]
+        if "." in name:
+            alias.setdefault((repo_of(fp), name.rsplit(".", 1)[0]), []).append((fp, "file"))
+
+    norm = lambda s: s.lower().replace("_", "").replace("-", "")
+    norm_alias: dict[tuple[str, str], list[str]] = {}
+    prefix_blocks: dict[tuple[str, str], int] = {}
+    for (repo, a), cands in alias.items():
+        norm_alias.setdefault((repo, norm(a)), []).extend(e for e, _ in cands)
+        prefix_blocks[(repo, norm(a)[:2])] = 1
+
+    def resolve(repo: str, pred: str, obj: str) -> str:
+        cands = alias.get((repo, obj))
+        if cands:
+            want = "file" if pred == "imports" else "symbol"
+            return min(cands, key=lambda c: (0 if c[1] == want else 1, c[0]))[0]
+        t1 = norm_alias.get((repo, norm(obj)))
+        if t1:
+            return min(t1)
+        if (repo, norm(obj)[:2]) in prefix_blocks:
+            raise AssertionError(
+                f"expected_edges cannot model LSH tier-2 linking; {obj!r} has "
+                f"candidates in its prefix block — extend the oracle first"
+            )
+        return f"ext:{obj}"
+
+    merge: dict[str, list[str]] = {}
+    for fp in files:
+        merge.setdefault(sha[fp], []).append(fp)
+    for e in symbols:
+        fp, name = e.split("#", 1)
+        merge.setdefault(sha[fp] + "#" + name.lower().replace("_", ""), []).append(e)
+    canon = {e: min(group) for group in merge.values() for e in group}
+
+    edges: set[tuple[str, str, str]] = set()
+    for s, p, o in triples:
+        obj_id = o if p in ("defines", "contains") else resolve(repo_of(file_of(s)), p, o)
+        edges.add((canon.get(s, s), p, canon.get(obj_id, obj_id)))
+    return edges
+
+
+def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
+    """Materialize the construction-time expected triple + edge sets as
+    parquet (pyarrow, no Spark) so the DuckDB oracle can diff the
+    pipeline output against them (driver gate for kg_pipeline_*)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    _, triples = generate_corpus(scale)
+
+    def write(name: str, cols: tuple[str, str, str], data: set[tuple[str, str, str]]) -> None:
+        rows = sorted(data)
+        table = pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)})
+        pq.write_table(table, f"{out_dir}/{name}.parquet")
+
+    write("triples", ("subj", "pred", "obj"), triples)
+    write("edges", ("src", "pred", "dst"), expected_edges(scale))
+
+
 def write_corpus(spark, out_dir: str, scale: str = "xs", num_files: int | None = None) -> None:
     """Materialize the corpus as a parquet table laid out like the real
     input would be: many files, rows hash-spread so a monorepo doesn't

@@ -9,8 +9,9 @@ shuffle-conscious:
   within-bucket pair generation → signature-Jaccard filter → connected
   components → canonical survivor.  Candidate generation never compares
   across buckets, so cost is Σ bucket² not N².
-* :func:`simhash` / :func:`simhash_dedup` — 64-bit simhash; blocking on
-  4×16-bit bands (Hamming ≤ 3 near-dups must collide on ≥ 1 exact band).
+* :func:`simhash` / :func:`simhash_dedup` — 60-bit simhash (sha256
+  token base so the DuckDB oracle can replicate it); blocking on 4×15-bit
+  bands (Hamming ≤ 3 near-dups must collide on ≥ 1 exact band).
 * :func:`ngram_jaccard_pairs` — exact character-n-gram Jaccard for
   candidate pairs (the precision re-rank stage after any blocker).
 * :func:`embedding_dedup` — cosine near-dup over an embedding column
@@ -187,17 +188,28 @@ def minhash_dedup(
 
 
 # -------------------------------------------------------------------- simhash
-def simhash(col, num_bits: int = 64):
+SIMHASH_BITS = 60  # 15 sha256 hex chars; 4 bands x 15 bits
+SIMHASH_BANDS = 4
+
+
+def _token_hex15(col):
+    """Per-token 60-bit base hash as 15 sha256 hex chars — sha256 (not
+    xxhash64) so the DuckDB oracle can compute the identical simhash."""
+    return F.transform(tokenize(col), lambda t: F.substring(F.sha2(t, 256), 1, 15))
+
+
+def simhash(col, num_bits: int = SIMHASH_BITS):
     """Simhash of the word-token set as a ``num_bits``-char bit STRING.
 
-    bit_i = sign of Σ_tokens (±1 per bit i of xxhash64(token)).  A bit
-    string (not a long) because Spark's Python API only shifts by int
-    literals — string slicing gives the same banding joins with plans
-    that stay in whole-stage codegen.
+    bit_i = sign of Σ_tokens (±1 per bit i of sha256(token)[0:60]).  A
+    bit string (not a long) because Spark's Python API only shifts by
+    int literals — string slicing gives the same banding joins with
+    plans that stay in whole-stage codegen.  This is the slow reference
+    path (num_bits interpreted aggregate passes per doc);
+    :func:`simhash_arrow` is value-identical and the default.
     """
-    # per-token 64-char two's-complement bit string, zero-padded
     bitstrs = F.transform(
-        tokenize(col), lambda t: F.lpad(F.bin(F.xxhash64(t)), 64, "0")
+        _token_hex15(col), lambda h: F.lpad(F.conv(h, 16, 2), num_bits, "0")
     )
     return F.concat_ws(
         "",
@@ -216,23 +228,23 @@ def simhash(col, num_bits: int = 64):
     )
 
 
-def simhash_from_hashes_udf(num_bits: int = 64):
-    """Arrow-batched numpy sign-sum over precomputed token xxhash64
-    values → bit string.  VALUE-IDENTICAL to :func:`simhash` (asserted
-    in tests/test_minhash_paths.py): ``F.bin`` renders an int64 as its
-    two's-complement 64-bit pattern, which is exactly the uint64 view
-    numpy unpacks.  This replaces the round-1 hotspot — a 64-pass
-    interpreted aggregate per document — with one JVM hash pass plus a
-    vectorized bit-count."""
+def simhash_from_hex_udf(num_bits: int = SIMHASH_BITS):
+    """Arrow-batched numpy sign-sum over precomputed token base hashes
+    (15-hex-char strings) → bit string.  VALUE-IDENTICAL to
+    :func:`simhash` (asserted in tests/test_minhash_paths.py): the
+    60-bit value occupies the low bits of a uint64, so MSB-first
+    unpackbits[4:] equals ``lpad(conv(hex,16,2),60,'0')``.  Replaces the
+    round-1 hotspot — a 64-pass interpreted aggregate per document —
+    with one JVM hash pass plus a vectorized bit-count."""
 
     from pyspark.sql.types import StringType
 
-    def sh_one(hashes) -> str:
-        if hashes is None or len(hashes) == 0:
+    def sh_one(hexes) -> str:
+        if hexes is None or len(hexes) == 0:
             return "0" * num_bits
-        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        h = np.array([int(x, 16) for x in hexes], dtype=np.uint64)
         bits = np.unpackbits(h.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
-        sums = (2 * bits[:, :num_bits].astype(np.int64) - 1).sum(axis=0)
+        sums = (2 * bits[:, 64 - num_bits :].astype(np.int64) - 1).sum(axis=0)
         return "".join("1" if v > 0 else "0" for v in sums)
 
     def _impl(s):
@@ -241,13 +253,12 @@ def simhash_from_hashes_udf(num_bits: int = 64):
     return pandas_udf(_impl, StringType())
 
 
-def simhash_arrow(col, num_bits: int = 64):
-    """Fast-path simhash: one JVM xxhash64 pass + numpy sign-sum."""
-    hashes = F.transform(tokenize(col), lambda t: F.xxhash64(t))
-    return simhash_from_hashes_udf(num_bits)(hashes)
+def simhash_arrow(col, num_bits: int = SIMHASH_BITS):
+    """Fast-path simhash: one JVM sha256 pass + numpy sign-sum."""
+    return simhash_from_hex_udf(num_bits)(_token_hex15(col))
 
 
-def hamming_bits(a, b, num_bits: int = 64):
+def hamming_bits(a, b, num_bits: int = SIMHASH_BITS):
     """Hamming distance between equal-length bit strings (JVM-side)."""
     return F.aggregate(
         F.transform(
@@ -266,8 +277,8 @@ def simhash_pairs(
     max_hamming: int = 3,
     use_arrow: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs by simhash: block on 4 x 16-bit bands (any pair with
-    Hamming ≤ 3 over 64 bits must agree exactly on ≥ 1 of 4 bands), then
+    """Near-dup pairs by simhash: block on 4 x 15-bit bands (any pair with
+    Hamming ≤ 3 over 60 bits must agree exactly on ≥ 1 of 4 bands), then
     exact Hamming filter.  Both signature paths are value-identical."""
     sig = simhash_arrow if use_arrow else simhash
     sh = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id").select(
@@ -281,7 +292,7 @@ def simhash_pairs(
                 F.sequence(F.lit(0), F.lit(3)),
                 lambda j: F.struct(
                     j.cast("int").alias("band"),
-                    F.col("sh").substr(j * 16 + 1, F.lit(16)).alias("key"),
+                    F.col("sh").substr(j * 15 + 1, F.lit(15)).alias("key"),
                 ),
             )
         ).alias("b"),
@@ -308,7 +319,7 @@ def simhash_dup_edges(
     use_arrow: bool = True,
 ) -> DataFrame:
     """Verified duplicate-graph star edges for simhash (same O(Σ bucket)
-    rationale as :func:`minhash_dup_edges`): per 16-bit band bucket, link
+    rationale as :func:`minhash_dup_edges`): per 15-bit band bucket, link
     members to the bucket-min-id hub, keep links with Hamming ≤ max."""
     sig = simhash_arrow if use_arrow else simhash
     sh = (
@@ -323,7 +334,7 @@ def simhash_dup_edges(
                 F.sequence(F.lit(0), F.lit(3)),
                 lambda j: F.struct(
                     j.cast("int").alias("band"),
-                    F.col("sh").substr(j * 16 + 1, F.lit(16)).alias("key"),
+                    F.col("sh").substr(j * 15 + 1, F.lit(15)).alias("key"),
                 ),
             )
         ).alias("b"),

@@ -54,4 +54,4 @@ def test_simhash_paths_value_identical(spark, docs):
     ).collect()
     for r in out:
         assert r.hof == r.arrow, r.id
-        assert len(r.arrow) == 64 and set(r.arrow) <= {"0", "1"}
+        assert len(r.arrow) == 60 and set(r.arrow) <= {"0", "1"}

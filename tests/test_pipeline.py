@@ -33,6 +33,20 @@ def test_e2e_triple_parity(spark, kg):
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
 
 
+def test_e2e_edges_match_independent_oracle(spark, kg):
+    """Stages 2+3 vs corpus.expected_edges — an independent pure-Python
+    implementation of linking + canonicalization.  EXACT set equality,
+    not P/R: the two implementations check each other edge-for-edge."""
+    from sema_spark.corpus import expected_edges
+
+    base, _, _ = kg
+    got = {
+        (r.src, r.pred, r.dst)
+        for r in P.read_edges(spark, base).select("src", "pred", "dst").collect()
+    }
+    assert got == expected_edges("xs")
+
+
 def test_rerun_skips_everything(spark, kg):
     base, src, _ = kg
     run2 = P.run_pipeline(spark, src, base)
