@@ -110,6 +110,30 @@ def q_f_filters(spark, sf):
     )
 
 
+def q_f3_gitignore(spark, sf):
+    """F3 full fidelity: gitignore-CONTENT semantics (last-match-wins
+    with ! negation, anchoring, glob compilation) over a file table
+    derived from documents; the oracle replicates the fixed pattern
+    list as explicit SQL predicates."""
+    from sema_spark.operators.gitignore import apply_gitignore
+
+    docs = _docs(spark, sf)
+    files = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(
+            F.lit("docs/"), F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(".log")).otherwise(F.lit(".txt")),
+        ).alias("path"),
+        "doc_id",
+    )
+    lines = ["*.log", "!docs/en/*.log", "tmp/"]
+    patterns = (
+        docs.select(F.col("source").alias("repo")).distinct()
+        .select("repo", F.posexplode(F.array(*[F.lit(x) for x in lines])).alias("idx", "pattern"))
+    )
+    return apply_gitignore(files, patterns).select("repo", "path", "doc_id")
+
+
 def q_x_sha2(spark, sf):
     """X1: per-row content sha256 (the north-rule invariant hash)."""
     return _docs(spark, sf).select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha"))
@@ -330,6 +354,16 @@ def q_a4_bm25_search(spark, sf):
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(QUERY_LIMIT_K)
     )
+
+
+def q_a4_query_parser(spark, sf):
+    """A4/entry-C full fidelity: tantivy-subset query parsing — quoted
+    phrase (containment-verified), +required, -excluded, OR terms —
+    feeding the one-job BM25 plan.  Oracle replicates the parse of
+    'spark \"sort key\" +hash -merge' as explicit SQL predicates."""
+    from sema_spark.operators.search import bm25_search
+
+    return bm25_search(_docs(spark, sf), 'spark "sort key" +hash -merge', k=QUERY_LIMIT_K)
 
 
 def q_s6_point_lookup(spark, sf):
@@ -660,6 +694,7 @@ _REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = None  # set bel
 def _build_registry():
     return {
         "f_filters": q_f_filters,
+        "f3_gitignore": q_f3_gitignore,
         "x_sha2": q_x_sha2,
         "a1_window_dedup": q_a1_window_dedup,
         "w4_topk": q_w4_topk,
@@ -675,6 +710,7 @@ def _build_registry():
         "dedup_exact": q_dedup_exact,
         "s4_posting_list": q_s4_posting_list,
         "a4_bm25_search": q_a4_bm25_search,
+        "a4_query_parser": q_a4_query_parser,
         "s6_point_lookup": q_s6_point_lookup,
         "f6_like_fallback": q_f6_like_fallback,
         "j4_connected_components": q_j4_connected_components,
@@ -722,6 +758,18 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, lang, n_chars from documents
             where lang in ('en','de') and length(text) between 50 and 10485760
               and text is not null
+        """,
+        "f3_gitignore": """
+            with files as (
+              select source as repo,
+                     'docs/' || lang || '/' || doc_id
+                       || (case when doc_id % 4 = 0 then '.log' else '.txt' end) as path,
+                     doc_id
+              from documents)
+            -- pattern list ['*.log', '!docs/en/*.log', 'tmp/']: last match
+            -- wins, so .log files survive iff directly under docs/en/
+            select repo, path, doc_id from files
+            where path not like '%.log' or path like 'docs/en/%.log'
         """,
         "x_sha2": "select doc_id, sha256(text) as content_sha from documents",
         "a1_window_dedup": """
@@ -865,6 +913,35 @@ def oracle_sql() -> dict[str, str]:
               cross join stats s cross join avg_dl a
               where p.term in ('spark','join'))
             group by doc_id order by bm25 desc, doc_id limit {QUERY_LIMIT_K}
+        """,
+        "a4_query_parser": f"""
+            with toks as (
+              select doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                         x -> x <> '') as t, lower(text) as lt
+              from documents),
+            cand as (
+              select doc_id from toks
+              where contains(lt, 'sort key')
+                and list_contains(t, 'hash') and not list_contains(t, 'merge')),
+            posting as (
+              select doc_id, unnest(t) as term from toks),
+            tf as (select doc_id, term, count(*) as tf from posting
+                   where term in ('spark','hash','sort','key') group by 1, 2),
+            dl as (select doc_id, len(t) as dl from toks),
+            stats as (select count(*) as n_docs from documents),
+            avg_dl as (select avg(dl) as avgdl from dl),
+            dfreq as (select term, count(distinct doc_id) as df from tf group by term)
+            select doc_id, round(sum(s), 4) as score from (
+              select p.doc_id,
+                     ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * (p.tf * 2.2)
+                       / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / a.avgdl)) as s
+              from tf p
+              join dfreq d on p.term = d.term
+              join dl l on p.doc_id = l.doc_id
+              join cand c on p.doc_id = c.doc_id
+              cross join stats s cross join avg_dl a)
+            group by doc_id order by score desc, doc_id limit {QUERY_LIMIT_K}
         """,
         "s6_point_lookup": "select doc_id, source, n_chars from documents where doc_id = 42 limit 1",
         "f6_like_fallback": """

@@ -53,7 +53,22 @@ def _contract(e: DataFrame, rounds: int = 2):
     return e, mappings
 
 
-DRIVER_CC_MAX_EDGES = 3_000_000
+def driver_cc_budget(spark) -> int:
+    """Edge count the union-find tier may pull to the driver, scaled
+    from spark.driver.memory instead of a fixed constant: the Arrow
+    frame + parent dict cost ~0.5 KB/edge of string ids, and the budget
+    must never eat more than ~1/4 of the heap (the rest is the driver's
+    normal working set).  Bounds: [100k, 64M]."""
+    import re
+
+    try:
+        mem = spark.conf.get("spark.driver.memory")
+    except Exception:
+        mem = "2g"
+    m = re.fullmatch(r"(\d+)([kmgt]?)b?", str(mem).lower().strip())
+    mult = {"": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+    nbytes = int(m.group(1)) * mult[m.group(2)] if m else 2**31
+    return max(100_000, min(64_000_000, nbytes // 4 // 512))
 
 
 def _driver_cc(spark, e: DataFrame) -> DataFrame:
@@ -85,15 +100,19 @@ def _driver_cc(spark, e: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, driver_max_edges: int = DRIVER_CC_MAX_EDGES
+    edges: DataFrame, max_iter: int = 25, driver_max_edges: int | None = None
 ) -> DataFrame:
     """edges(a string, b string) → (id string, component string).
 
     Component id = lexicographic min node id in the component.
     Includes singleton handling for any id appearing in edges.
-    Hybrid execution: small edge sets union-find on the driver; larger
-    ones run min-label contraction + pointer-jumping label propagation.
+    Hybrid execution: small edge sets union-find on the driver (budget
+    scaled from spark.driver.memory; pass driver_max_edges=0 to force
+    the distributed path); larger ones run min-label contraction +
+    pointer-jumping label propagation.
     """
+    if driver_max_edges is None:
+        driver_max_edges = driver_cc_budget(edges.sparkSession)
     if driver_max_edges:
         e_simple = edges.filter(F.col("a") != F.col("b")).persist()
         n_edges = e_simple.count()
