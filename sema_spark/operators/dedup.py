@@ -440,25 +440,7 @@ def embedding_dup_pairs(
         .withColumn("sk", sk(F.col("v")))
         .transform(materialize)
     )
-    # 4 bands: overlapping half-width windows of the sketch bits → ORed
-    # recall.  Arithmetic div/mod instead of bit shifts (the Python API
-    # only shifts by int literals, not columns).
-    half = 1 << (num_bits // 2)
-    bands = base.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda j: F.struct(
-                    j.cast("int").alias("band"),
-                    F.pmod(
-                        F.floor(F.col("sk") / F.pow(F.lit(2.0), (j * (num_bits // 4)).cast("double"))),
-                        F.lit(half),
-                    ).cast("long").alias("key"),
-                ),
-            )
-        ).alias("b"),
-    ).select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    bands = _sketch_bands(base, num_bits)
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(r, on=["band", "key"])
@@ -477,3 +459,28 @@ def embedding_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))
     )
+
+
+def _sketch_bands(base: DataFrame, num_bits: int) -> DataFrame:
+    """SLIM (id, band, key) band rows from a sketched base — the only
+    columns allowed into the self-join shuffle (schema asserted in
+    tests/test_plans.py)."""
+    # 4 bands: overlapping half-width windows of the sketch bits → ORed
+    # recall.  Arithmetic div/mod instead of bit shifts (the Python API
+    # only shifts by int literals, not columns).
+    half = 1 << (num_bits // 2)
+    return base.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda j: F.struct(
+                    j.cast("int").alias("band"),
+                    F.pmod(
+                        F.floor(F.col("sk") / F.pow(F.lit(2.0), (j * (num_bits // 4)).cast("double"))),
+                        F.lit(half),
+                    ).cast("long").alias("key"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.band").alias("band"), F.col("b.key").alias("key"))

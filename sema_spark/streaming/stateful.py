@@ -1,0 +1,100 @@
+"""Custom stateful streaming operator: session windows via
+``applyInPandasWithState``.
+
+The batch pipeline computes sessions with lag + cumulative-sum windows
+(__spark_entry__.q_sessionization); that needs the full history per key.
+On an unbounded stream the same semantics — a session closes after a
+``gap_seconds`` silence per user — become CUSTOM STATE: per user we keep
+(last event time, open session index, running aggregates) between
+microbatches, continue or close sessions as batches arrive, and emit an
+update row per touched session.
+
+State is bounded: one small tuple per active user; closed sessions leave
+state immediately and idle users are evicted by the processing-time
+timeout.  The operator is deterministic for a drained backlog
+(availableNow), which is how tests equate it with the batch
+sessionization of the same events (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+OUTPUT_SCHEMA = (
+    "user_id long, session_idx int, n_events long, session_value double, open boolean"
+)
+STATE_SCHEMA = "last_ts double, session_idx int, n_events long, session_value double"
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """events(user_id, ts timestamp, value double) →
+    per-session update rows (open=False when the session closed).
+
+    Each microbatch: sort the user's new events, close the open session
+    when a gap > gap_seconds appears (within the batch or against the
+    carried state), update running aggregates, persist the still-open
+    session.  ``timeout_ms`` evicts idle users via processing-time
+    timeout, emitting their final session as closed.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                last_ts, idx, n, val = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [
+                        {
+                            "user_id": user_id,
+                            "session_idx": idx,
+                            "n_events": n,
+                            "session_value": val,
+                            "open": False,
+                        }
+                    ]
+                )
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_epoch")
+        if state.exists:
+            last_ts, idx, n, val = state.get
+        else:
+            last_ts, idx, n, val = None, -1, 0, 0.0
+        out = []
+        for ts, value in zip(batch["ts_epoch"], batch["value"]):
+            if last_ts is None or ts - last_ts > gap_seconds:
+                if idx >= 0 and n > 0:
+                    out.append((user_id, idx, n, val, False))  # close previous
+                idx, n, val = idx + 1, 0, 0.0
+            n += 1
+            val += float(value)
+            last_ts = float(ts)
+        out.append((user_id, idx, n, val, True))  # still-open session update
+        state.update((last_ts, idx, n, val))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_idx", "n_events", "session_value", "open"]
+        )
+
+    prepared = events.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("double").alias("ts_epoch"),
+        "value",
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, OUTPUT_SCHEMA, STATE_SCHEMA, "update", timeout
+    )

@@ -75,3 +75,36 @@ def test_range_join_is_hash_join(spark):
 def test_anti_join_stays_join(spark):
     plan = _plan(E.q_j1_anti_join(spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_embedding_band_shuffle_is_slim(spark):
+    """The exploded-band self-join must shuffle ONLY (id, band, key) —
+    never the embedding array (round-1 flaw: 4 vector copies per row
+    through the shuffle and distinct() over float-array rows)."""
+    from sema_spark.operators.dedup import _sketch_bands, hyperplane_sketch
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 16) for i in range(4)], "id long, v array<float>"
+    )
+    base = df.withColumn("sk", hyperplane_sketch(16, 16)(F.col("v")))
+    bands = _sketch_bands(base, 16)
+    assert bands.columns == ["id", "band", "key"]
+
+
+def test_bm25_plans_without_driver_actions(spark, monkeypatch):
+    """Building the BM25 queries must run NO driver actions: corpus
+    stats ride a broadcast crossJoin inside the plan (round 1 ran
+    count() + collect() pre-passes — 3 corpus scans at 100x scale)."""
+    import __spark_entry__ as E
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver action during query construction")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "toPandas", boom, raising=False)
+    df = E.q_a4_bm25_search(spark, "/root/testdata/sf0.001")
+    df2 = E.q_a4_query_parser(spark, "/root/testdata/sf0.001")
+    assert df.columns and df2.columns  # plans are real

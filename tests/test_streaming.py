@@ -58,3 +58,78 @@ def test_windowed_event_counts_batch_parity(spark):
     assert out
     total = sum(r.n for r in out)
     assert total == events.count()
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState session windows: state carries sessions
+    ACROSS microbatches (maxFilesPerTrigger=1 forces two batches), and
+    the drained result equals batch lag+cumsum sessionization."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sema_spark.streaming.stateful import sessionize_stream
+
+    t0 = 1_700_000_000
+    batch1 = [  # (user, epoch, value)
+        (1, t0, 10.0), (1, t0 + 600, 5.0),          # user1 session 0
+        (2, t0, 1.0),                                # user2 session 0
+    ]
+    batch2 = [
+        (1, t0 + 1200, 2.0),                         # continues session 0 (gap 10min)
+        (1, t0 + 7200, 7.0),                         # new session 1 (gap 100min)
+        (2, t0 + 4000, 3.0),                         # user2 new session 1
+    ]
+    src = str(tmp_path / "events")
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_file(rows, name):
+        df = spark.createDataFrame(
+            [(u, datetime.fromtimestamp(e, tz=timezone.utc).replace(tzinfo=None), v) for u, e, v in rows], schema
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    write_file(batch1, "b1")
+    write_file(batch2, "b2")
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    sessions = sessionize_stream(stream, gap_seconds=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_updates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    updates = spark.sql("select * from sess_updates").collect()
+    assert len(updates) >= 2  # ran as >1 microbatch with update rows
+    # final state per session = the update with the most events
+    final = {}
+    for r in updates:
+        key = (r.user_id, r.session_idx)
+        if key not in final or r.n_events > final[key][0]:
+            final[key] = (r.n_events, round(r.session_value, 6))
+
+    both = spark.createDataFrame(
+        [(u, datetime.fromtimestamp(e, tz=timezone.utc).replace(tzinfo=None), v) for u, e, v in batch1 + batch2], schema
+    )
+    w = Window.partitionBy("user_id").orderBy("ts")
+    epoch = F.col("ts").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    batch_sessions = (
+        both.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_idx", F.sum("new_sess").over(w) - 1)
+        .groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .collect()
+    )
+    expect = {
+        (r.user_id, r.session_idx): (r.n_events, round(r.session_value, 6))
+        for r in batch_sessions
+    }
+    assert final == expect
+    # cross-batch continuity: user1 session 0 spans both batches (3 events)
+    assert final[(1, 0)][0] == 3
