@@ -511,6 +511,45 @@ def q_sessionization(spark, sf):
     )
 
 
+def q_quantiles(spark, sf):
+    """Exact discrete quantiles (p25/p50/p75 of event value per type)
+    via sorted-collect + index selection — no interpolation, so both
+    engines pick the IDENTICAL element (percentile()/quantile_cont
+    interpolate in doubles and drift cross-engine).
+
+    Scale note: collect_list is per-GROUP memory — correct here (5
+    bounded groups) and as the small-scale oracle; at 100 TB the same
+    call site switches to approx_percentile (t-digest, mergeable,
+    bounded memory), trading exactness for scale like every engine
+    does."""
+    ev = _table(spark, sf, "events")
+    vals = ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("value")).alias("v"), F.count("*").alias("n")
+    )
+    pick = lambda p: F.element_at(F.col("v"), F.ceil(F.col("n") * F.lit(p)).cast("int"))
+    return vals.select(
+        "event_type",
+        pick(0.25).alias("p25"),
+        pick(0.5).alias("p50"),
+        pick(0.75).alias("p75"),
+        "n",
+    )
+
+
+def q_pivot_counts(spark, sf):
+    """Pivot: hourly event matrix (one column per event type) — the
+    groupBy().pivot() path with explicit values (never let pivot scan
+    for distinct values at 100 TB)."""
+    ev = _table(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
 def q_rollup_counts(spark, sf):
     """Rollup aggregation (per-source + grand total)."""
     return (
@@ -717,6 +756,8 @@ def _build_registry():
         "set_except": q_set_except,
         "events_windowed_agg": q_events_windowed_agg,
         "rollup_counts": q_rollup_counts,
+        "quantiles": q_quantiles,
+        "pivot_counts": q_pivot_counts,
         "sessionization": q_sessionization,
         "asof_join": q_asof_join,
         "per_group_topk": q_per_group_topk,
@@ -977,6 +1018,26 @@ def oracle_sql() -> dict[str, str]:
         "rollup_counts": """
             select coalesce(source, '__total__') as source, count(*) as n_docs
             from documents group by rollup(source)
+        """,
+        "quantiles": """
+            with g as (
+              select event_type, list_sort(list(value)) as v, count(*) as n
+              from events group by event_type)
+            select event_type,
+                   v[cast(ceil(n * 0.25) as int)] as p25,
+                   v[cast(ceil(n * 0.5) as int)] as p50,
+                   v[cast(ceil(n * 0.75) as int)] as p75,
+                   n
+            from g
+        """,
+        "pivot_counts": """
+            select date_trunc('hour', ts) as hour,
+                   coalesce(count(*) filter (event_type = 'click'), 0) as click,
+                   coalesce(count(*) filter (event_type = 'error'), 0) as error,
+                   coalesce(count(*) filter (event_type = 'purchase'), 0) as purchase,
+                   coalesce(count(*) filter (event_type = 'signup'), 0) as signup,
+                   coalesce(count(*) filter (event_type = 'view'), 0) as view
+            from events group by 1
         """,
         "distinct_agg": """
             select date_trunc('hour', ts) as hour,

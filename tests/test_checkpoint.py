@@ -94,3 +94,68 @@ def test_lineage_rows(spark, src, tmp_path):
     lin = ck.read_lineage(spark, base, "triples")
     rows = lin.filter(F.col("run_id") == r.run_id).collect()
     assert rows and sum(x.rows for x in rows) == r.output_rows
+
+
+def test_compact_incremental_stage(spark, src, tmp_path):
+    """compact() rewrites the log-structured stage to one live run and
+    SWAPS it in: snapshot identical, superseded/tombstoned rows gone
+    from disk, checkpoint log collapsed to the compacted run."""
+    base = str(tmp_path / "kg")
+    ck.run_incremental_stage(spark, src, "triples", base, _transform)
+    mutated = with_content_sha(
+        src.drop("content_sha").withColumn(
+            "content",
+            F.when(
+                (F.col("repo") == "org0/proj0") & (F.col("path") == "src/m0.py"),
+                F.lit('"""changed."""\nimport zz_compact\n# padding to pass the fifty char guard\n'),
+            ).otherwise(F.col("content")),
+        )
+    )
+    ck.run_incremental_stage(spark, mutated, "triples", base, _transform)
+    victim = spark.createDataFrame([("org0/proj0", "src/m1.py")], "repo string, path string")
+    ck.delete_files(spark, base, "triples", victim)
+
+    before = {
+        (r.subj, r.pred, r.obj)
+        for r in ck.read_stage_output(spark, base, "triples").select("subj", "pred", "obj").collect()
+    }
+    raw_before = spark.read.parquet(f"{base}/triples/data").count()
+
+    rid = ck.compact(spark, base, "triples")
+    after = {
+        (r.subj, r.pred, r.obj)
+        for r in ck.read_stage_output(spark, base, "triples").select("subj", "pred", "obj").collect()
+    }
+    assert after == before  # reader-visible snapshot unchanged
+    raw = spark.read.parquet(f"{base}/triples/data")
+    assert raw.count() < raw_before  # superseded + tombstoned rows physically gone
+    assert {r.run_id for r in raw.select("run_id").distinct().collect()} == {rid}
+    log = ck.read_checkpoint_log(spark, base, "triples")
+    assert {r.run_id for r in log.select("run_id").distinct().collect()} == {rid}
+    assert log.filter(F.col("content_sha") == ck.TOMBSTONE).count() == 0
+    # incremental still works after compaction: rerunning the ORIGINAL
+    # src reprocesses exactly m0.py (sha differs from the compacted
+    # mutated version) and m1.py (tombstone dropped with its data)
+    r = ck.run_incremental_stage(spark, src, "triples", base, _transform)
+    assert not r.skipped and r.input_files == 2
+
+
+def test_compact_snapshot_stage(spark, src, tmp_path):
+    base = str(tmp_path / "kg")
+    keys = src.select("repo", "path", "content_sha")
+    ck.run_snapshot_stage(spark, keys, "nodes", base, lambda: src.select("repo", "path"))
+    # second snapshot with different input → supersedes the first
+    ck.run_snapshot_stage(
+        spark, keys.limit(10), "nodes", base, lambda: src.select("repo", "path").limit(10)
+    )
+    before = ck.read_snapshot(spark, base, "nodes").count()
+    raw_before = spark.read.parquet(f"{base}/nodes/data").count()
+    assert raw_before > before  # old snapshot still on disk
+    rid = ck.compact(spark, base, "nodes")
+    assert ck.read_snapshot(spark, base, "nodes").count() == before
+    assert spark.read.parquet(f"{base}/nodes/data").count() == before
+    # fingerprint preserved → unchanged input still skips
+    r = ck.run_snapshot_stage(
+        spark, keys.limit(10), "nodes", base, lambda: src.select("repo", "path").limit(10)
+    )
+    assert r.skipped and r.run_id == rid
