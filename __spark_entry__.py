@@ -550,6 +550,19 @@ def q_pivot_counts(spark, sf):
     )
 
 
+def q_json_extract(spark, sf):
+    """Semi-structured column processing: from_json with an EXPLICIT
+    schema (schema-on-read — never per-row inference at scale), typed
+    extraction, exact integer aggregation."""
+    ev = _table(spark, sf, "events")
+    parsed = ev.select("event_type", F.from_json("props", "k int").alias("p"))
+    return parsed.groupBy("event_type").agg(
+        F.sum("p.k").alias("sum_k"),
+        F.count("p.k").alias("n_k"),
+        F.max("p.k").alias("max_k"),
+    )
+
+
 def q_rollup_counts(spark, sf):
     """Rollup aggregation (per-source + grand total)."""
     return (
@@ -757,6 +770,7 @@ def _build_registry():
         "events_windowed_agg": q_events_windowed_agg,
         "rollup_counts": q_rollup_counts,
         "quantiles": q_quantiles,
+        "json_extract": q_json_extract,
         "pivot_counts": q_pivot_counts,
         "sessionization": q_sessionization,
         "asof_join": q_asof_join,
@@ -1018,6 +1032,13 @@ def oracle_sql() -> dict[str, str]:
         "rollup_counts": """
             select coalesce(source, '__total__') as source, count(*) as n_docs
             from documents group by rollup(source)
+        """,
+        "json_extract": """
+            select event_type,
+                   sum(cast(props->>'k' as int)) as sum_k,
+                   count(cast(props->>'k' as int)) as n_k,
+                   max(cast(props->>'k' as int)) as max_k
+            from events group by event_type
         """,
         "quantiles": """
             with g as (

@@ -86,14 +86,20 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     threshold: float = 0.7,
     max_bucket: int = 1000,
+    shingle_words: bool = True,
 ) -> DataFrame:
-    """(a, b, est_jaccard) pairs with estimated Jaccard ≥ threshold."""
+    """(a, b, est_jaccard) pairs with estimated Jaccard ≥ threshold.
+    ``shingle_words=False`` switches the similarity measure to char
+    3-shingles (the right basis when the downstream re-rank is
+    char-n-gram Jaccard — candidate filter and re-rank then estimate
+    the SAME quantity)."""
     # materialize the signatures ONCE (the expensive vectorized hash
     # pipeline), then band/join on slim (id, band, bh) rows only — the
     # 64-long signature array never enters the self-join shuffle
     mh = with_minhash(
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id"),
         text_col="t",
+        shingle_words=shingle_words,
         bands=choose_bands(threshold),
     ).select("id", "mh_sig", "mh_bands").transform(materialize)
     bands = explode_bands(mh, ["id"])
@@ -369,8 +375,20 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_bucket: int = 1000,
 ) -> DataFrame:
-    """Exact character-n-gram Jaccard ≥ threshold for LSH candidates."""
-    cand = minhash_candidate_pairs(df, id_col, text_col, threshold=threshold * 0.7, max_bucket=max_bucket)
+    """Exact character-n-gram Jaccard ≥ threshold for LSH candidates.
+
+    Candidates come from CHAR-shingle minhash (same measure the exact
+    re-rank computes), so the candidate threshold can sit at 0.78x the
+    target — a ≥3.5σ margin for a 64-perm signature at J = threshold —
+    instead of the loose 0.7x a word-token estimate needs.  The tighter
+    filter matters because the re-rank shuffles the full gram arrays to
+    each surviving pair: on the near-dup-heavy sf0.1 corpus the word
+    basis passed ~2M pairs (≈48 GB of gram traffic) for an output in
+    the tens."""
+    cand = minhash_candidate_pairs(
+        df, id_col, text_col,
+        threshold=threshold * 0.78, max_bucket=max_bucket, shingle_words=False,
+    )
     grams = df.select(F.col(id_col).alias("id"), char_shingles(F.col(text_col), n).alias("g"))
     ga = grams.select(F.col("id").alias("a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("id").alias("b"), F.col("g").alias("gb"))
