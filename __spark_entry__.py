@@ -665,21 +665,61 @@ def q_kg_pipeline_triples(spark, sf):
     return extract_triples(corpus_df(spark, "xs")).select("subj", "pred", "obj").distinct()
 
 
+_KG_EDGES_CACHE: dict[int, DataFrame] = {}
+
+
 def q_kg_pipeline_edges(spark, sf):
     """North-star stages 2+3: linked, canonicalized graph edges.
     Oracle: corpus.expected_edges — an INDEPENDENT pure-Python
     implementation of linking + canonicalization over the
     construction-time triples, so the two implementations check each
-    other edge-for-edge."""
-    from sema_spark.corpus import corpus_df
-    from sema_spark.operators.canonicalize import canonical_edges, canonicalize_nodes
-    from sema_spark.operators.linking import build_nodes, link_triples
-    from sema_spark.operators.mentions import extract_triples
+    other edge-for-edge.  Memoized per session: the degree/pagerank
+    queries reuse the materialized edge set instead of re-running the
+    pipeline."""
+    key = id(spark)
+    if key not in _KG_EDGES_CACHE:
+        from sema_spark.corpus import corpus_df
+        from sema_spark.operators.canonicalize import canonical_edges, canonicalize_nodes
+        from sema_spark.operators.linking import build_nodes, link_triples
+        from sema_spark.operators.mentions import extract_triples
 
-    triples = extract_triples(corpus_df(spark, "xs"))
-    linked = link_triples(triples)
-    nodes = canonicalize_nodes(build_nodes(triples))
-    return canonical_edges(linked, nodes).select("src", "pred", "dst").distinct()
+        triples = extract_triples(corpus_df(spark, "xs"))
+        linked = link_triples(triples)
+        nodes = canonicalize_nodes(build_nodes(triples))
+        _KG_EDGES_CACHE[key] = (
+            canonical_edges(linked, nodes).select("src", "pred", "dst").distinct().localCheckpoint()
+        )
+    return _KG_EDGES_CACHE[key]
+
+
+def q_kg_degree_hist(spark, sf):
+    """Graph analytics over the pipeline output: out-degree histogram of
+    the canonical edge set; oracle = the same SQL over the
+    construction-time expected edges."""
+    from sema_spark.operators.graph import degree_stats
+
+    edges = q_kg_pipeline_edges(spark, sf)
+    return (
+        degree_stats(edges)
+        .filter(F.col("out_degree") > 0)
+        .groupBy("out_degree")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
+def q_kg_pagerank(spark, sf):
+    """PageRank over the canonical KG edges (iterative DataFrame power
+    iteration — genuinely non-SQL-expressible; the exactness gate is the
+    numpy reference in tests/test_graph.py)."""
+    from sema_spark.operators.graph import pagerank
+
+    edges = q_kg_pipeline_edges(spark, sf)
+    ranks = pagerank(edges, iterations=5)
+    return (
+        ranks.orderBy(F.desc("rank"), "id")
+        .limit(20)
+        .select("id", F.round("rank", 6).alias("rank"))
+    )
 
 
 def q_curation_pipeline(spark, sf):
@@ -788,6 +828,8 @@ def _build_registry():
         "curation_pipeline": q_curation_pipeline,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "kg_pipeline_edges": q_kg_pipeline_edges,
+        "kg_degree_hist": q_kg_degree_hist,
+        "kg_pagerank": q_kg_pagerank,
         "semantic_search": q_semantic_search,
         "multimodal_features": q_multimodal_features,
     }
@@ -1209,6 +1251,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_pipeline_edges": f"""
             select src, pred, dst from read_parquet('{KG_EXPECTED_DIR}/edges.parquet')
+        """,
+        "kg_degree_hist": f"""
+            with deg as (
+              select src, count(*) as out_degree
+              from read_parquet('{KG_EXPECTED_DIR}/edges.parquet') group by src)
+            select out_degree, count(*) as n_nodes from deg group by out_degree
         """,
         "curation_pipeline": rf"""
             with feat as (

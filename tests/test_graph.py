@@ -1,0 +1,55 @@
+"""PageRank / degree stats vs an independent numpy power iteration."""
+
+import numpy as np
+import pytest
+
+from sema_spark.operators.graph import degree_stats, pagerank
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"),  # d has no in-edges
+    ("c", "e"),  # e is dangling (no out-edges)
+    ("a", "b"),  # parallel edge — must count once
+]
+
+
+def _numpy_pagerank(edges, iterations=10, damping=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    dedup = sorted(set(edges))
+    outdeg = np.zeros(n)
+    for s, _ in dedup:
+        outdeg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        flowed = np.zeros(n)
+        for s, d in dedup:
+            flowed[idx[d]] += r[idx[s]] / outdeg[idx[s]]
+        dangling = r[outdeg == 0].sum()
+        r = (1 - damping) / n + damping * (flowed + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.fixture()
+def edges_df(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string")
+
+
+def test_pagerank_matches_numpy(spark, edges_df):
+    got = {r.id: r.rank for r in pagerank(edges_df, iterations=10).collect()}
+    expect = _numpy_pagerank(EDGES, iterations=10)
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=1e-12), k
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)  # mass conserved
+    # c receives from a, b, d → highest rank
+    assert max(got, key=got.get) == "c"
+
+
+def test_degree_stats(spark, edges_df):
+    got = {r.id: (r.out_degree, r.in_degree) for r in degree_stats(edges_df).collect()}
+    # parallel edge a→b counts twice here (degree is over the multiset)
+    assert got["a"] == (3, 1)
+    assert got["e"] == (0, 1)
+    assert got["d"] == (1, 0)
