@@ -330,7 +330,11 @@ def q_a4_bm25_search(spark, sf):
     dl = docs.select(
         "doc_id", F.size(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != "")).alias("dl")
     )
-    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # avgdl from an exact integer sum: avg() over doubles drifts with
+    # partial-agg order and would poison every score cross-engine
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("_sdl")).select(
+        "n_docs", (F.col("_sdl").cast("double") / F.col("n_docs")).alias("avgdl")
+    )
     qterms = ["spark", "join"]
     df_ = posting.filter(F.col("term").isin(qterms)).groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
@@ -665,7 +669,7 @@ def q_kg_pipeline_triples(spark, sf):
     return extract_triples(corpus_df(spark, "xs")).select("subj", "pred", "obj").distinct()
 
 
-_KG_EDGES_CACHE: dict[int, DataFrame] = {}
+_KG_EDGES_CACHE: dict[str, DataFrame] = {}
 
 
 def q_kg_pipeline_edges(spark, sf):
@@ -676,18 +680,21 @@ def q_kg_pipeline_edges(spark, sf):
     other edge-for-edge.  Memoized per session: the degree/pagerank
     queries reuse the materialized edge set instead of re-running the
     pipeline."""
-    key = id(spark)
+    # applicationId is unique per SparkContext (id(spark) could be a
+    # recycled address pointing a fresh session at a stopped context)
+    key = spark.sparkContext.applicationId
     if key not in _KG_EDGES_CACHE:
         from sema_spark.corpus import corpus_df
         from sema_spark.operators.canonicalize import canonical_edges, canonicalize_nodes
         from sema_spark.operators.linking import build_nodes, link_triples
         from sema_spark.operators.mentions import extract_triples
+        from sema_spark.plans.materialize import materialize
 
         triples = extract_triples(corpus_df(spark, "xs"))
         linked = link_triples(triples)
         nodes = canonicalize_nodes(build_nodes(triples))
         _KG_EDGES_CACHE[key] = (
-            canonical_edges(linked, nodes).select("src", "pred", "dst").distinct().localCheckpoint()
+            canonical_edges(linked, nodes).select("src", "pred", "dst").distinct().transform(materialize)
         )
     return _KG_EDGES_CACHE[key]
 
@@ -996,7 +1003,7 @@ def oracle_sql() -> dict[str, str]:
                     from documents)
               where term <> '' group by doc_id),
             stats as (select count(*) as n_docs from documents),
-            avg_dl as (select avg(dl) as avgdl from dl),
+            avg_dl as (select sum(dl)::double / count(*) as avgdl from dl),
             dfreq as (select term, count(distinct doc_id) as df from posting
                       where term in ('spark','join') group by term)
             select doc_id, round(sum(s), 4) as bm25 from (
@@ -1014,11 +1021,13 @@ def oracle_sql() -> dict[str, str]:
         "a4_query_parser": f"""
             with toks as (
               select doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                         x -> x <> '') as t, lower(text) as lt
+                                         x -> x <> '') as t
               from documents),
             cand as (
+              -- phrase = token ADJACENCY (not substring), like the Spark side
               select doc_id from toks
-              where contains(lt, 'sort key')
+              where len(list_filter(range(1, len(t)),
+                        i -> t[i] = 'sort' and t[i+1] = 'key')) > 0
                 and list_contains(t, 'hash') and not list_contains(t, 'merge')),
             posting as (
               select doc_id, unnest(t) as term from toks),
@@ -1026,10 +1035,15 @@ def oracle_sql() -> dict[str, str]:
                    where term in ('spark','hash','sort','key') group by 1, 2),
             dl as (select doc_id, len(t) as dl from toks),
             stats as (select count(*) as n_docs from documents),
-            avg_dl as (select avg(dl) as avgdl from dl),
+            avg_dl as (select sum(dl)::double / count(*) as avgdl from dl),
             dfreq as (select term, count(distinct doc_id) as df from tf group by term)
-            select doc_id, round(sum(s), 4) as score from (
-              select p.doc_id,
+            -- deterministic fold in term order, mirroring the Spark-side
+            -- sort_array+aggregate (fp addition is not associative)
+            select doc_id,
+                   round(list_reduce(list_prepend(0.0::double, list(s order by term)),
+                                     (a, b) -> a + b), 4) as score
+            from (
+              select p.doc_id, p.term,
                      ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
                        * (p.tf * 2.2)
                        / (p.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / a.avgdl)) as s

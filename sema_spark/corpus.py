@@ -362,7 +362,12 @@ def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
     def write(name: str, cols: tuple[str, str, str], data: set[tuple[str, str, str]]) -> None:
         rows = sorted(data)
         table = pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)})
-        pq.write_table(table, f"{out_dir}/{name}.parquet")
+        # write-to-temp + atomic rename: concurrent harness processes
+        # regenerate the same deterministic files and must never read a
+        # half-written parquet
+        tmp = f"{out_dir}/.tmp-{os.getpid()}-{name}.parquet"
+        pq.write_table(table, tmp)
+        os.replace(tmp, f"{out_dir}/{name}.parquet")
 
     write("triples", ("subj", "pred", "obj"), triples)
     write("edges", ("src", "pred", "dst"), expected_edges(scale))

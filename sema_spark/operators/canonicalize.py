@@ -66,7 +66,9 @@ def driver_cc_budget(spark) -> int:
     except Exception:
         mem = "2g"
     m = re.fullmatch(r"(\d+)([kmgt]?)b?", str(mem).lower().strip())
-    mult = {"": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+    # a bare number means MiB for spark.driver.memory (JVM memory confs
+    # parse via byteStringAsMb), not bytes
+    mult = {"": 2**20, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
     nbytes = int(m.group(1)) * mult[m.group(2)] if m else 2**31
     return max(100_000, min(64_000_000, nbytes // 4 // 512))
 

@@ -131,13 +131,18 @@ def _drop_cc_losers(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Remove every non-survivor of the duplicate-pair graph from df.
 
     connected_components picks the LEXICOGRAPHIC min string as the
-    representative, so numeric ids are zero-padded first (19 digits =
-    max int64 width) — otherwise a component {9, 10} would keep 10 and
-    violate the documented 'numeric min id kept' contract."""
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 19, "0")
+    representative, so ids are encoded order-preservingly first: offset
+    by 2^63 into unsigned (exact decimal arithmetic — '-' sorts below
+    '0', so raw zero-padding would invert the order of negative ids)
+    then zero-pad to 20 digits.  Otherwise a component {9, 10} would
+    keep 10 and violate the 'numeric min id kept' contract."""
+    offset = F.lit("9223372036854775808").cast("decimal(20,0)")
+    pad = lambda c: F.lpad(
+        (F.col(c).cast("decimal(20,0)") + offset).cast("decimal(20,0)").cast("string"), 20, "0"
+    )
     comp = connected_components(pairs.select(pad("a").alias("a"), pad("b").alias("b")))
     losers = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").cast("long").alias("_loser")
+        (F.col("id").cast("decimal(20,0)") - offset).cast("long").alias("_loser")
     )
     return df.join(losers, df[id_col] == F.col("_loser"), "left_anti")
 
@@ -158,9 +163,17 @@ def minhash_dup_edges(
     corpora: this repo's own sf0.1 documents table is ~86% near-dups and
     full pair enumeration produced 2.4M candidate pairs from 5k docs
     (measured 25s; the star path is ~6x faster and at 100 TB it is the
-    difference between O(N) and O(N²/buckets) edges).  The complete
-    pair-enumeration API remains :func:`minhash_candidate_pairs` (the
-    bounded re-rank path)."""
+    difference between O(N) and O(N²/buckets) edges).
+
+    RECALL CAVEAT (the price of O(Σ bucket)): a member-member duplicate
+    whose bucket hubs all fail verification is missed — e.g. bucket
+    {A(min), B, C} where sim(B,C) ≥ t but sim(A,·) < t links nothing.
+    Each of the b bands contributes an independent hub, so the miss
+    probability decays with band count, but it is not zero.  When exact
+    pair semantics matter more than scale, pass ``exact_pairs=True`` to
+    :func:`minhash_dedup` (full within-bucket cliques via
+    :func:`minhash_candidate_pairs`, bounded by its ``max_bucket``
+    cap)."""
     mh = with_minhash(
         _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id"),
         text_col="t",
@@ -185,11 +198,23 @@ def minhash_dup_edges(
 
 
 def minhash_dedup(
-    df: DataFrame, id_col: str = "id", text_col: str = "text", threshold: float = 0.7
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    exact_pairs: bool = False,
 ) -> DataFrame:
-    """df minus near-duplicates (per CC over verified star edges; min id
-    kept)."""
-    pairs = minhash_dup_edges(df, id_col, text_col, threshold)
+    """df minus near-duplicates (min numeric id kept per component).
+
+    Default: CC over verified star edges (O(Σ bucket) — see
+    :func:`minhash_dup_edges` for the recall caveat).
+    ``exact_pairs=True``: CC over the full verified pair clique
+    (O(Σ bucket²), capped per bucket) — every same-bucket pair with
+    signature Jaccard ≥ threshold is linked."""
+    if exact_pairs:
+        pairs = minhash_candidate_pairs(df, id_col, text_col, threshold)
+    else:
+        pairs = minhash_dup_edges(df, id_col, text_col, threshold)
     return _drop_cc_losers(df, pairs, id_col)
 
 

@@ -9,10 +9,11 @@ commonly-used subset over the posting-list plan:
 * bare terms — "should" clauses, OR-combined, BM25-scored;
 * ``+term`` — required (doc must contain it), also scored;
 * ``-term`` — excluded;
-* ``"quoted phrase"`` — required: verified by substring containment on
-  the candidate docs (the index-free equivalent of positional postings;
-  cost is one contains() over candidates, not a corpus scan), and the
-  phrase's words join the scored term set.
+* ``"quoted phrase"`` — required: verified by TOKEN ADJACENCY over the
+  tokenized document (the index-free equivalent of positional postings
+  — same token basis as the postings, so no substring false positives
+  like 're[sort key]ed' and no false negatives for punctuation-separated
+  adjacent tokens), and the phrase's words join the scored term set.
 
 Plan shape: ONE pass builds postings + doc lengths; corpus stats
 (n_docs, avgdl) ride a broadcast 1-row crossJoin (no driver actions);
@@ -83,6 +84,22 @@ def _tokens(text_col: str):
     return F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != "")
 
 
+def _has_phrase(toks, words: list[str]):
+    """True when ``words`` appear as CONSECUTIVE tokens of ``toks``."""
+    k = len(words)
+    warr = F.array(*[F.lit(w) for w in words])
+    # start positions 1 .. size-k+1 (guard keeps sequence() ascending)
+    return (F.size(toks) >= k) & F.exists(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(True),
+            lambda acc, j: acc
+            & (F.element_at(toks, (i + j).cast("int")) == F.element_at(warr, (j + 1).cast("int"))),
+        ),
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     query: str | ParsedQuery,
@@ -96,9 +113,9 @@ def bm25_search(
     if not qterms:
         raise ValueError(f"query has no scorable terms: {query!r}")
 
-    ids = docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks"), F.lower(text_col).alias("_lower"))
-    for ph in pq.phrases:  # required phrases: containment verify
-        ids = ids.filter(F.col("_lower").contains(ph))
+    ids = docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks"))
+    for ph in pq.phrases:  # required phrases: token-adjacency verify
+        ids = ids.filter(_has_phrase(F.col("_toks"), ph.split(" ")))
     for t in pq.must_not:
         ids = ids.filter(~F.array_contains("_toks", t))
     for t in pq.must:
@@ -110,7 +127,11 @@ def bm25_search(
         .agg(F.count("*").alias("tf"))
     )
     dl = docs.select(F.col(id_col).alias("doc_id"), F.size(_tokens(text_col)).alias("dl"))
-    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # avgdl from an EXACT integer sum (avg() over doubles drifts with
+    # partial-aggregation order and poisons every downstream score)
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("_sdl")).select(
+        "n_docs", (F.col("_sdl").cast("double") / F.col("n_docs")).alias("avgdl")
+    )
     df_ = posting.filter(F.col("term").isin(qterms)).groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
@@ -127,9 +148,21 @@ def bm25_search(
             / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
         )
     )
+    # deterministic fold in term order: fp addition is commutative but
+    # NOT associative, so an unordered sum() of 3+ terms differs in the
+    # last bits between engines/runs and can flip a rounding boundary
     return (
         scored.groupBy("doc_id")
-        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list(F.struct("term", "s"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["s"],
+                ),
+                4,
+            ).alias("score")
+        )
         .orderBy(F.desc("score"), "doc_id")
         .limit(k)
     )

@@ -15,6 +15,13 @@ deployment decision, not an algorithm decision:
 * ``persist``  — ``persist(MEMORY_AND_DISK)`` + eager count.  Blocks are
   RE-COMPUTABLE from lineage on executor loss (Spark's native resilience)
   and stay in memory when they fit — the default we'd ship on a cluster.
+  Two documented limits vs the checkpoint modes: (a) persist cuts
+  RECOMPUTATION (downstream reads InMemoryTableScan) but not the
+  LOGICAL plan, so per-iteration analysis cost grows with iteration
+  count — fine for this repo's bounded loops (CC max_iter=25, PageRank
+  ~10), wrong for unbounded iteration; (b) cached blocks live until the
+  session ends or ``spark.catalog.clearCache()`` — call it between
+  pipelines when running many in one session.
 
 Select with ``set_materialize_mode()`` or ``$SPARK_GRAFT_MATERIALIZE``.
 All call sites use ``df.transform(materialize)`` so the mode is a pure

@@ -286,33 +286,44 @@ def read_lineage(spark: SparkSession, base: str, stage: str) -> DataFrame:
     return _read_or_empty(spark, _lineage_dir(base, stage), LINEAGE)
 
 
-def _swap_dir(spark: SparkSession, tmp: str, live: str) -> None:
-    """Replace ``live`` with ``tmp`` via Hadoop FileSystem renames.
-    Directory rename is atomic on HDFS and posix filesystems; on object
-    stores the catalog layer (Iceberg) owns this — documented caveat."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(live).getFileSystem(spark._jsc.hadoopConfiguration())
-    old = hpath(live + ".old")
-    fs.delete(old, True)
-    if fs.exists(hpath(live)):
-        if not fs.rename(hpath(live), old):
-            raise IOError(f"compact: could not move {live} aside")
-    if not fs.rename(hpath(tmp), hpath(live)):
-        raise IOError(f"compact: could not move {tmp} into place")
-    fs.delete(old, True)
+def _fs(spark: SparkSession, path: str):
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    return hpath(path).getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _list_children(spark: SparkSession, path: str) -> list[str]:
+    fs, hpath = _fs(spark, path)
+    if not fs.exists(hpath(path)):
+        return []
+    return [s.getPath().toString() for s in fs.listStatus(hpath(path))]
 
 
 def compact(spark: SparkSession, base: str, stage: str) -> str:
-    """Maintenance: rewrite the log-structured stage into a single live
-    run, dropping superseded/orphan/tombstoned rows, then SWAP the
-    rewritten data+checkpoint dirs over the live ones (the analogue of
-    Iceberg's rewrite_data_files + snapshot expiry).  Handles both
-    incremental and snapshot stages.  Not safe under concurrent readers
-    of the same stage — run from the maintenance schedule, like any
-    table-format rewrite.  Returns the compacted run_id."""
+    """Maintenance: rewrite the live rows into ONE new run and garbage-
+    collect everything older (Iceberg's rewrite_data_files + snapshot
+    expiry, expressed in the log's own append-then-GC terms).
+
+    Crash-safe AT EVERY POINT under the existing read rules — no
+    directory swap, no window where the checkpoint is absent:
+
+    1. append compacted data under ``run_id=<rid>`` — invisible until
+       referenced (crash here: harmless orphan, next compact re-runs);
+    2. append checkpoint rows with ``run_id=<rid>`` for every live file
+       — ``max_by(run_id)`` makes the compacted rows the current ones
+       and supersedes every older row atomically-per-reader;
+    3. delete pre-existing data run directories and checkpoint files —
+       all unreferenced after (2), so a crash mid-delete just leaves
+       garbage for the next compact.
+
+    Tombstoned files get no new checkpoint row: if their old tombstone
+    row survives a partial GC it still reads as deleted; once GC'd the
+    file has no row at all — also deleted.  Returns the new run_id."""
     rid = new_run_id()
     last = _latest_commit(spark, base, stage)
+    old_data = [
+        p for p in _list_children(spark, _data_dir(base, stage)) if f"run_id={rid}" not in p
+    ]
+    old_ckpt = list(_list_children(spark, _ckpt_dir(base, stage)))
     if last is not None:  # snapshot stage: keep only the committed run
         live = read_snapshot(spark, base, stage).withColumn("run_id", F.lit(rid))
         ckpt_new = spark.createDataFrame(
@@ -321,12 +332,12 @@ def compact(spark: SparkSession, base: str, stage: str) -> str:
     else:  # incremental stage: keep rows referenced by the live checkpoint
         live = read_stage_output(spark, base, stage).withColumn("run_id", F.lit(rid))
         ckpt_new = current_checkpoint(spark, base, stage).withColumn("run_id", F.lit(rid))
-    data_tmp = _data_dir(base, stage) + f".compacting-{rid}"
-    ckpt_tmp = _ckpt_dir(base, stage) + f".compacting-{rid}"
-    live.write.mode("overwrite").partitionBy("run_id").parquet(data_tmp)
-    ckpt_new.write.mode("overwrite").parquet(ckpt_tmp)
-    # data first, checkpoint second: between the two renames readers see
-    # (old checkpoint ⋈ new data) = ∅ rather than phantom rows
-    _swap_dir(spark, data_tmp, _data_dir(base, stage))
-    _swap_dir(spark, ckpt_tmp, _ckpt_dir(base, stage))
+    # (1) data append: read of the old state completes while writing
+    live.write.mode("append").partitionBy("run_id").parquet(_data_dir(base, stage))
+    # (2) checkpoint append: the compacted run becomes current
+    ckpt_new.write.mode("append").parquet(_ckpt_dir(base, stage))
+    # (3) GC the superseded files (anything that existed before (2))
+    fs, hpath = _fs(spark, base)
+    for p in old_data + old_ckpt:
+        fs.delete(hpath(p), True)
     return rid

@@ -14,6 +14,14 @@ state immediately and idle users are evicted by the processing-time
 timeout.  The operator is deterministic for a drained backlog
 (availableNow), which is how tests equate it with the batch
 sessionization of the same events (tests/test_streaming.py).
+
+Ordering contract: events are sorted WITHIN a microbatch; equality with
+batch sessionization holds when each user's events arrive in event-time
+order across batches.  Cross-batch stragglers (ts below the user's
+carried last_ts) fold into the OPEN session without regressing last_ts
+— never into a closed one; buffering until an event-time watermark
+(what windowed built-ins do) is the alternative when late re-ordering
+matters more than latency.
 """
 
 from __future__ import annotations
@@ -76,7 +84,12 @@ def sessionize_stream(
                 idx, n, val = idx + 1, 0, 0.0
             n += 1
             val += float(value)
-            last_ts = float(ts)
+            # LATE events (ts < last_ts, i.e. out-of-order ACROSS batches)
+            # fold into the open session without regressing last_ts — a
+            # regressed watermark would glue genuinely-separate later
+            # sessions together.  Closed sessions are never reopened
+            # (the no-event-time-buffer tradeoff, documented above).
+            last_ts = max(last_ts, float(ts)) if last_ts is not None else float(ts)
         out.append((user_id, idx, n, val, True))  # still-open session update
         state.update((last_ts, idx, n, val))
         if timeout_ms is not None:

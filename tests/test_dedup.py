@@ -86,3 +86,17 @@ def test_embedding_dup_pairs(spark):
     pairs = embedding_dup_pairs(df, dim=64, threshold=0.9).collect()
     assert {(r.a, r.b) for r in pairs} == {(0, 1)}
     assert pairs[0].cos > 0.99
+
+
+def test_dedup_negative_ids_keep_numeric_min(spark):
+    """Sign-safe id encoding: among negative ids the NUMERIC min
+    survives (raw zero-padding would invert the order of negatives)."""
+    rows = [(-13, BASE), (-12, BASE), (7, BASE), (-20, "totally unrelated words here and more")]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    kept = {r.id for r in minhash_dedup(docs, threshold=0.5).select("id").collect()}
+    assert kept == {-13, -20}
+
+
+def test_minhash_dedup_exact_pairs_mode(spark, docs):
+    kept = {r.id for r in minhash_dedup(docs, threshold=0.5, exact_pairs=True).select("id").collect()}
+    assert kept == {0, 4, 5}

@@ -43,3 +43,16 @@ def test_bm25_search_requires_scorable_terms(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_search(docs, "-only -negations")
+
+
+def test_phrase_is_token_adjacency_not_substring(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "we resort keyed maps hash shuffle"),  # substring 'sort key' but not tokens
+            (2, "please sort, key hash shuffle now"),  # punctuation-adjacent tokens → match
+            (3, "sort the key hash shuffle"),          # tokens present but not adjacent
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, '"sort key" +hash', k=10)
+    assert {r.doc_id for r in out.collect()} == {2}
