@@ -770,7 +770,12 @@ def q_multimodal_features(spark, sf):
     from sema_spark.operators.multimodal import decode_features, synthetic_media
 
     return decode_features(synthetic_media(spark, 24)).select(
-        "media_id", "kind", F.size("feature").alias("dim"), F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_id",
+        "kind",
+        F.size("feature").alias("dim"),
+        # cast BEFORE round: round() on a float column stays float32,
+        # whose repr can never equal the oracle's double
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     )
 
 
@@ -1271,6 +1276,20 @@ def oracle_sql() -> dict[str, str]:
               select src, count(*) as out_degree
               from read_parquet('{KG_EXPECTED_DIR}/edges.parquet') group by src)
             select out_degree, count(*) as n_nodes from deg group by out_degree
+        """,
+        "multimodal_features": """
+            -- full replication of the deterministic decode stand-in:
+            -- payload = sha256('media-i') bytes x4, feature bytes =
+            -- sha256(hex(payload)), f0 = first byte / 255
+            with m as (
+              select i as media_id,
+                     case i % 3 when 0 then 'image' when 1 then 'audio' else 'video' end as kind,
+                     sha256(repeat(sha256('media-' || i), 4)) as h
+              from range(0, 24) t(i))
+            select media_id, kind, 64 as dim,
+                   round(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) / 255.0, 6) as f0
+            from m
         """,
         "curation_pipeline": rf"""
             with feat as (

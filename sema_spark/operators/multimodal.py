@@ -48,11 +48,14 @@ FEATURE_DIM = 64
 
 
 def _fake_feature(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for a decoded-feature vector: sha256-seeded
-    bytes scaled to [0,1).  Stable across processes."""
+    """Deterministic stand-in for a decoded-feature vector: sha256 of the
+    payload's HEX encoding, bytes scaled to [0,1].  Stable across
+    processes; hashing the hex string (not the raw bytes) keeps the
+    whole derivation expressible in the DuckDB oracle, whose sha256 only
+    accepts VARCHAR."""
     if payload is None:
         return [0.0] * dim
-    digest = hashlib.sha256(payload).digest()
+    digest = hashlib.sha256(payload.hex().encode()).digest()
     reps = (dim // len(digest)) + 1
     raw = (digest * reps)[:dim]
     return [b / 255.0 for b in raw]

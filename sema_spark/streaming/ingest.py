@@ -57,6 +57,46 @@ def run_triples_stream(
     return writer.start()
 
 
+def run_triples_stream_to_log(
+    spark: SparkSession,
+    src_dir: str,
+    base: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming ingest THROUGH the log-structured checkpoint store:
+    every microbatch executes the same ``run_incremental_stage`` the
+    batch pipeline uses (``foreachBatch`` is the bridge — inside it the
+    microbatch is a plain DataFrame).
+
+    Exactly-once at two independent levels: the file-source checkpoint
+    dedupes INPUT FILES across restarts, and the content-sha anti-join
+    dedupes WORK — a microbatch replayed after a crash (foreachBatch is
+    at-least-once) finds its files already checkpointed and skips them
+    instead of appending duplicate rows.  Readers see each increment
+    atomically via the data-before-checkpoint commit order."""
+    from sema_spark.operators.mentions import with_content_sha
+    from sema_spark.sources.checkpoint import run_incremental_stage
+
+    def handle(batch_df, batch_id: int) -> None:
+        run_incremental_stage(
+            spark,
+            with_content_sha(batch_df),
+            "triples",
+            base,
+            lambda pending: extract_triples(pending, dedup=True),
+        )
+
+    writer = (
+        stream_repo_source(spark, src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -133,3 +133,36 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     assert final == expect
     # cross-batch continuity: user1 session 0 spans both batches (3 events)
     assert final[(1, 0)][0] == 3
+
+
+def test_stream_to_checkpoint_log_exactly_once(spark, tmp_path):
+    """foreachBatch bridge into the log-structured store: streamed
+    output equals the batch stage output, and a REPLAYED stream (fresh
+    streaming checkpoint, same files) appends nothing — the content-sha
+    anti-join makes replay idempotent."""
+    from sema_spark.operators.mentions import with_content_sha
+    from sema_spark.sources import checkpoint as ck
+    from sema_spark.streaming.ingest import run_triples_stream_to_log
+
+    src = str(tmp_path / "src")
+    base = str(tmp_path / "kg")
+    write_corpus(spark, src, "xs")
+
+    q = run_triples_stream_to_log(spark, src, base, str(tmp_path / "sck1"))
+    q.awaitTermination(300)
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in ck.read_stage_output(spark, base, "triples").select("subj", "pred", "obj").collect()
+    }
+    expect = {
+        (r.subj, r.pred, r.obj)
+        for r in extract_triples(with_content_sha(corpus_df(spark, "xs"))).select("subj", "pred", "obj").collect()
+    }
+    assert got == expect
+    n1 = ck.read_stage_output(spark, base, "triples").count()
+
+    # replay with a FRESH streaming checkpoint (worst case: every file
+    # redelivered) → the store's own anti-join skips all of them
+    q2 = run_triples_stream_to_log(spark, src, base, str(tmp_path / "sck2"))
+    q2.awaitTermination(300)
+    assert ck.read_stage_output(spark, base, "triples").count() == n1
