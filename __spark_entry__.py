@@ -963,7 +963,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": rf"""
             with c as (select doc_id,
               len(regexp_extract_all(lower(text), '{en}')) as c_en,
-              len(regexp_split_to_array(trim(text), '\s+')) as n_words,
+              (case when trim(text) = '' then 0 else len(regexp_split_to_array(trim(text), '\s+')) end) as n_words,
               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) as n_tokens,
               (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
                  / nullif(length(text), 0) as pr
@@ -1140,13 +1140,13 @@ def oracle_sql() -> dict[str, str]:
         "per_group_topk": rf"""
             with scored as (
               select doc_id, lang,
-                round(0.4 * least(len(regexp_split_to_array(trim(text), '\s+')) / 100.0, 1.0)
+                round(0.4 * least((case when trim(text) = '' then 0 else len(regexp_split_to_array(trim(text), '\s+')) end) / 100.0, 1.0)
                     + 0.3 * (1.0 - least(coalesce(
                         (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
                           / nullif(length(text), 0), 1.0) * 10.0, 1.0))
                     + 0.3 * least(coalesce(
                         len(regexp_extract_all(lower(text), '{en}'))
-                          / nullif(len(regexp_split_to_array(trim(text), '\s+')), 0), 0.0) * 5.0, 1.0),
+                          / nullif((case when trim(text) = '' then 0 else len(regexp_split_to_array(trim(text), '\s+')) end), 0), 0.0) * 5.0, 1.0),
                   6) as quality
               from documents)
             select lang, rank, doc_id, quality from (
@@ -1298,7 +1298,7 @@ def oracle_sql() -> dict[str, str]:
                 len(regexp_extract_all(lower(text), '{de}')) as c_de,
                 len(regexp_extract_all(lower(text), '{fr}')) as c_fr,
                 len(regexp_extract_all(lower(text), '{es}')) as c_es,
-                len(regexp_split_to_array(trim(text), '\s+')) as n_words,
+                (case when trim(text) = '' then 0 else len(regexp_split_to_array(trim(text), '\s+')) end) as n_words,
                 (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
                    / nullif(length(text), 0) as pr
               from documents),

@@ -61,16 +61,18 @@ class PipelineConfig:
 
     def exclude_predicate(self) -> Column:
         """F3: exclude-pattern globs → one path regex (dir segments match
-        anywhere; *.ext patterns match suffixes)."""
+        anywhere; *.ext patterns match suffixes).  Both halves are
+        regex-escaped — an unescaped suffix like 'min.js' would let the
+        dot match any character ('bundleminxjs' wrongly excluded)."""
+        import re as _re
+
         dirs = [p for p in self.exclude_patterns if not p.startswith("*.")]
         sufs = [p[2:] for p in self.exclude_patterns if p.startswith("*.")]
         parts = []
         if dirs:
-            import re as _re
-
             parts.append("(^|/)(" + "|".join(_re.escape(d) for d in dirs) + ")(/|$)")
         if sufs:
-            parts.append(r"\.(" + "|".join(sufs) + ")$")
+            parts.append(r"\.(" + "|".join(_re.escape(s) for s in sufs) + ")$")
         return ~F.col("path").rlike("|".join(parts)) if parts else F.lit(True)
 
     def hidden_predicate(self) -> Column:
@@ -79,10 +81,12 @@ class PipelineConfig:
         return ~F.col("path").rlike(r"(^|/)\.")
 
     def size_predicate(self) -> Column:
+        # max_file_size is BYTES (reference semantics, config/mod.rs:29)
+        # → octet_length; the min guard is a character count by design
         return (
             F.col("content").isNotNull()
             & (F.length("content") >= self.min_content_chars)
-            & (F.length("content") <= self.max_file_size)
+            & (F.octet_length("content") <= self.max_file_size)
         )
 
     def apply(self, df: DataFrame) -> DataFrame:

@@ -39,8 +39,11 @@ def language_id(col: Column | str) -> Column:
 
 
 def word_count(col: Column | str) -> Column:
+    """Whitespace-token count; 0 for empty/whitespace-only text
+    (split(trim(''), '\\s+') yields [''] — size 1 — without the guard,
+    creating a phantom word in every downstream ratio)."""
     col = F.col(col) if isinstance(col, str) else col
-    return F.size(F.split(F.trim(col), r"\s+"))
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(F.split(F.trim(col), r"\s+")))
 
 
 def token_count_bpe_ish(col: Column | str) -> Column:

@@ -5,7 +5,9 @@ Byte-exact semantic parity with the reference
 100-byte overlap, window end snapped back to a UTF-8 char boundary and
 then to just-after the last newline; a chunk is kept if ≥ 50 bytes or it
 is the file's first; files under 50 bytes produce nothing; line numbers
-count newlines before/inside the window.  Chunk id = "{path}:{idx}"
+count newlines before/inside the window.  Chunk id = "{repo}/{path}:{idx}"
+(repo-qualified: the reference is single-repo, this engine is not — a
+path-only id would collide for same-named files across repos)
 (processor.rs:62).
 
 The char-window walk is inherently per-string, so it runs inside an
@@ -84,7 +86,7 @@ def chunk_files(df: DataFrame) -> DataFrame:
                 if content is None:
                     continue
                 for idx, sl, el, text in chunk_python(content):
-                    rows["id"].append(f"{path}:{idx}")
+                    rows["id"].append(f"{repo}/{path}:{idx}")
                     rows["repo"].append(repo)
                     rows["path"].append(path)
                     rows["chunk_idx"].append(idx)

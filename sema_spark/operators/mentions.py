@@ -125,7 +125,9 @@ def apply_crawl_filters(
     out = df.filter(
         F.col("content").isNotNull()
         & (F.length("content") >= min_chars)
-        & (F.length("content") <= max_chars)
+        # byte-accurate max (reference max_file_size is bytes; length()
+        # counts characters — a CJK file can be 4x its char count)
+        & (F.octet_length("content") <= max_chars)
         & ~F.col("path").rlike(exclude_path_regex)
         & ~F.col("path").rlike(r"(^|/)\.")  # hidden files/dirs
     )

@@ -40,6 +40,7 @@ from sema_spark.operators.mentions import (
     salted_repartition,
     with_content_sha,
 )
+from sema_spark.schemas import EDGES, LINKED_TRIPLES, NODES, TRIPLES
 from sema_spark.sources.checkpoint import (
     StageRun,
     read_snapshot,
@@ -83,41 +84,48 @@ def run_pipeline(
         base,
         lambda pending: extract_triples(salted_repartition(pending, salt_partitions)),
     )
-    triples = read_stage_output(spark, base, STAGE_TRIPLES)
+    triples = read_stage_output(spark, base, STAGE_TRIPLES, schema=TRIPLES)
     keys = triples.select("repo", "path", "content_sha").distinct()
 
+    # params fold non-key dependencies into each skip fingerprint:
+    # stage 2 depends on the fuzzy flag, stage 4 on the run_ids of the
+    # snapshots it derives from (a skipped upstream keeps its prior
+    # run_id, so downstream stays skippable; a regenerated upstream
+    # forces the derivation to re-run)
     r2 = run_snapshot_stage(
-        spark, keys, STAGE_LINKED, base, lambda: link_triples(triples, fuzzy=fuzzy)
+        spark, keys, STAGE_LINKED, base, lambda: link_triples(triples, fuzzy=fuzzy),
+        params=f"fuzzy={fuzzy}",
     )
-    linked = read_snapshot(spark, base, STAGE_LINKED)
+    linked = read_snapshot(spark, base, STAGE_LINKED, schema=LINKED_TRIPLES)
 
     r3 = run_snapshot_stage(
         spark, keys, STAGE_NODES, base, lambda: canonicalize_nodes(build_nodes(triples)),
         partition_cols=["kind"],
     )
-    nodes = read_snapshot(spark, base, STAGE_NODES)
+    nodes = read_snapshot(spark, base, STAGE_NODES, schema=NODES)
 
     r4 = run_snapshot_stage(
         spark, keys, STAGE_EDGES, base, lambda: canonical_edges(linked, nodes),
         partition_cols=["pred"],
+        params=f"linked={r2.run_id};nodes={r3.run_id}",
     )
     return PipelineRun(r1, r2, r3, r4)
 
 
 def read_triples(spark: SparkSession, base: str) -> DataFrame:
-    return read_stage_output(spark, base, STAGE_TRIPLES)
+    return read_stage_output(spark, base, STAGE_TRIPLES, schema=TRIPLES)
 
 
 def read_linked(spark: SparkSession, base: str) -> DataFrame:
-    return read_snapshot(spark, base, STAGE_LINKED)
+    return read_snapshot(spark, base, STAGE_LINKED, schema=LINKED_TRIPLES)
 
 
 def read_nodes(spark: SparkSession, base: str) -> DataFrame:
-    return read_snapshot(spark, base, STAGE_NODES)
+    return read_snapshot(spark, base, STAGE_NODES, schema=NODES)
 
 
 def read_edges(spark: SparkSession, base: str) -> DataFrame:
-    return read_snapshot(spark, base, STAGE_EDGES)
+    return read_snapshot(spark, base, STAGE_EDGES, schema=EDGES)
 
 
 def graph_stats(spark: SparkSession, base: str) -> DataFrame:
@@ -163,14 +171,26 @@ def semantic_search(
 
     if len(query.strip()) <= 2:
         # F5 min-query-length guard (reference clears results instead of
-        # searching, /root/reference/src/tui/app.rs:164-168)
-        return spark.createDataFrame([], chunks_with_embeddings.schema.add("score", "double").add("matches_in_file", "long"))
+        # searching, /root/reference/src/tui/app.rs:164-168).  Build a
+        # FRESH StructType: StructType.add mutates in place, and
+        # df.schema returns the cached object — adding to it would
+        # permanently append phantom fields to the caller's DataFrame
+        # schema (duplicated on every guarded call).
+        from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+        empty_schema = StructType(
+            list(chunks_with_embeddings.schema.fields)
+            + [StructField("score", DoubleType()), StructField("matches_in_file", LongType())]
+        )
+        return spark.createDataFrame([], empty_schema)
     scored = chunks_with_embeddings.withColumn(
         "score", cosine(F.col("embedding"), query_literal(query))
     )
     topk = scored.orderBy(F.desc_nulls_last("score")).limit(k)
-    w_rank = Window.partitionBy("path").orderBy("start_line")
-    w_count = Window.partitionBy("path")
+    # per-FILE windows: (repo, path) — path alone would merge same-named
+    # files across repos (README.md, src/main.py) into one "file"
+    w_rank = Window.partitionBy("repo", "path").orderBy("start_line")
+    w_count = Window.partitionBy("repo", "path")
     return (
         topk.withColumn("rn", F.row_number().over(w_rank))
         .withColumn("matches_in_file", F.count("*").over(w_count))

@@ -30,6 +30,7 @@ snapshot reads, but nothing here requires it.
 
 from __future__ import annotations
 
+import itertools
 import time
 import uuid
 from dataclasses import dataclass
@@ -44,9 +45,23 @@ TOMBSTONE = "__DELETED__"
 _CKPT_RUN_SCHEMA = "stage string, repo string, path string, content_sha string, run_id string"
 
 
+_RUN_COUNTER = itertools.count()
+
+
 def new_run_id() -> str:
-    """Sortable run id: UTC timestamp prefix + entropy suffix."""
-    return time.strftime("%Y%m%dT%H%M%S", time.gmtime()) + "-" + uuid.uuid4().hex[:8]
+    """Sortable run id: UTC second prefix + nanosecond fraction +
+    process-monotonic counter + entropy.
+
+    last-writer-wins resolution is ``max_by(run_id)`` string order, so
+    same-SECOND runs must still sort in creation order — a bare
+    second-resolution timestamp left consecutive streaming microbatches
+    randomly ordered (50% chance the older content won).  The '.' after
+    the seconds sorts above the old format's '-', so new ids always
+    supersede old-format ids from the same second."""
+    ns = time.time_ns()
+    frac = ns % 1_000_000_000
+    stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime(ns // 1_000_000_000))
+    return f"{stamp}.{frac:09d}-{next(_RUN_COUNTER):08d}-{uuid.uuid4().hex[:6]}"
 
 
 def _ckpt_dir(base: str, stage: str) -> str:
@@ -171,13 +186,28 @@ def run_incremental_stage(
     return StageRun(stage, run_id, n_files, n_rows, skipped=False)
 
 
-def read_stage_output(spark: SparkSession, base: str, stage: str) -> DataFrame:
+def read_stage_output(spark: SparkSession, base: str, stage: str, schema=None) -> DataFrame:
     """Current snapshot: data rows referenced by the live checkpoint.
 
     left-semi on (repo, path, content_sha, run_id) — orphans from
     crashed runs and superseded rows from re-indexed files vanish here.
+
+    ``schema``: expected data schema (without run_id).  A stage whose
+    every run produced ZERO rows writes no parquet footers, so schema
+    inference fails on a legitimately-empty stage; with ``schema`` the
+    caller gets an empty DataFrame instead of an error (an empty or
+    fully-filtered source is a valid pipeline state, not a crash).
     """
-    data = spark.read.parquet(_data_dir(base, stage))
+    from pyspark.errors import AnalysisException
+
+    try:
+        data = spark.read.parquet(_data_dir(base, stage))
+    except AnalysisException as e:
+        if schema is not None and (
+            "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e)
+        ):
+            return spark.createDataFrame([], schema)
+        raise
     ckpt = current_checkpoint(spark, base, stage)
     keys = ["repo", "path", "content_sha", "run_id"]
     return data.join(ckpt.select(*keys), on=keys, how="left_semi").drop("run_id")
@@ -241,14 +271,23 @@ def run_snapshot_stage(
     producer,
     run_id: str | None = None,
     partition_cols: list[str] | None = None,
+    params: str = "",
 ) -> StageRun:
     """Full-snapshot stage with fingerprint skip + commit-last visibility.
 
     ``producer()`` → the complete output DataFrame for this snapshot.
     Crash before the commit row → snapshot invisible, rerun regenerates.
+
+    ``params``: everything BEYOND the input keys that the output depends
+    on — pipeline flags, upstream snapshot run_ids — folded into the
+    skip fingerprint.  Without it, rerunning with a changed parameter
+    (e.g. fuzzy=False) or after an upstream regeneration would silently
+    return the stale snapshot.
     """
     run_id = run_id or new_run_id()
     fp = input_fingerprint(input_keys)
+    if params:
+        fp = f"{fp}:{params}"
     last = _latest_commit(spark, base, stage)
     if last is not None and last.content_sha == fp:
         return StageRun(stage, last.run_id, 0, 0, skipped=True)
@@ -273,12 +312,22 @@ def run_snapshot_stage(
     return StageRun(stage, run_id, -1, n_rows, skipped=False)
 
 
-def read_snapshot(spark: SparkSession, base: str, stage: str) -> DataFrame:
-    """Rows of the latest committed snapshot run."""
+def read_snapshot(spark: SparkSession, base: str, stage: str, schema=None) -> DataFrame:
+    """Rows of the latest committed snapshot run.  ``schema`` handles the
+    legitimately-empty committed snapshot (see read_stage_output)."""
+    from pyspark.errors import AnalysisException
+
     last = _latest_commit(spark, base, stage)
     if last is None:
         raise FileNotFoundError(f"no committed snapshot for stage {stage!r} under {base}")
-    data = spark.read.parquet(_data_dir(base, stage))
+    try:
+        data = spark.read.parquet(_data_dir(base, stage))
+    except AnalysisException as e:
+        if schema is not None and (
+            "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e)
+        ):
+            return spark.createDataFrame([], schema)
+        raise
     return data.filter(F.col("run_id") == last.run_id).drop("run_id")
 
 

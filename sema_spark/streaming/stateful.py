@@ -29,10 +29,18 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 
+# session_start (epoch of the session's first event) is the globally
+# unique session key per user: session_idx restarts at 0 when an idle
+# user's state is evicted by timeout, so (user_id, session_idx) alone
+# would collide across evictions in an upsert sink.
 OUTPUT_SCHEMA = (
-    "user_id long, session_idx int, n_events long, session_value double, open boolean"
+    "user_id long, session_idx int, session_start double, "
+    "n_events long, session_value double, open boolean"
 )
-STATE_SCHEMA = "last_ts double, session_idx int, n_events long, session_value double"
+STATE_SCHEMA = (
+    "last_ts double, session_idx int, session_start double, "
+    "n_events long, session_value double"
+)
 
 
 def sessionize_stream(
@@ -56,13 +64,14 @@ def sessionize_stream(
         (user_id,) = key
         if state.hasTimedOut:
             if state.exists:
-                last_ts, idx, n, val = state.get
+                last_ts, idx, start, n, val = state.get
                 state.remove()
                 yield pd.DataFrame(
                     [
                         {
                             "user_id": user_id,
                             "session_idx": idx,
+                            "session_start": start,
                             "n_events": n,
                             "session_value": val,
                             "open": False,
@@ -73,15 +82,16 @@ def sessionize_stream(
 
         batch = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_epoch")
         if state.exists:
-            last_ts, idx, n, val = state.get
+            last_ts, idx, start, n, val = state.get
         else:
-            last_ts, idx, n, val = None, -1, 0, 0.0
+            last_ts, idx, start, n, val = None, -1, 0.0, 0, 0.0
         out = []
         for ts, value in zip(batch["ts_epoch"], batch["value"]):
             if last_ts is None or ts - last_ts > gap_seconds:
                 if idx >= 0 and n > 0:
-                    out.append((user_id, idx, n, val, False))  # close previous
+                    out.append((user_id, idx, start, n, val, False))  # close previous
                 idx, n, val = idx + 1, 0, 0.0
+                start = float(ts)
             n += 1
             val += float(value)
             # LATE events (ts < last_ts, i.e. out-of-order ACROSS batches)
@@ -90,12 +100,13 @@ def sessionize_stream(
             # sessions together.  Closed sessions are never reopened
             # (the no-event-time-buffer tradeoff, documented above).
             last_ts = max(last_ts, float(ts)) if last_ts is not None else float(ts)
-        out.append((user_id, idx, n, val, True))  # still-open session update
-        state.update((last_ts, idx, n, val))
+        out.append((user_id, idx, start, n, val, True))  # still-open session update
+        state.update((last_ts, idx, start, n, val))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
-            out, columns=["user_id", "session_idx", "n_events", "session_value", "open"]
+            out,
+            columns=["user_id", "session_idx", "session_start", "n_events", "session_value", "open"],
         )
 
     prepared = events.select(

@@ -159,3 +159,12 @@ def test_compact_snapshot_stage(spark, src, tmp_path):
         spark, keys.limit(10), "nodes", base, lambda: src.select("repo", "path").limit(10)
     )
     assert r.skipped and r.run_id == rid
+
+
+def test_run_ids_sortable_and_unique_within_second(spark):
+    ids = [ck.new_run_id() for _ in range(200)]
+    assert ids == sorted(ids), "run ids must sort in creation order (max_by(run_id) resolution)"
+    assert len(set(ids)) == 200
+    # new format supersedes old-format ids from the same second
+    old_style = ids[0].split(".")[0] + "-deadbeef"
+    assert ids[0] > old_style

@@ -97,4 +97,4 @@ def test_spark_chunker_matches_python(spark):
         assert len(have) == len(expect), (fr.repo, fr.path)
         for r, (idx, sl, el, content) in zip(have, expect):
             assert (r.chunk_idx, r.start_line, r.end_line, r.content) == (idx, sl, el, content)
-            assert r.id == f"{fr.path}:{idx}"
+            assert r.id == f"{fr.repo}/{fr.path}:{idx}"  # repo-qualified: no cross-repo collisions

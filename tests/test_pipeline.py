@@ -113,3 +113,34 @@ def test_semantic_search_self_match(spark):
     assert res[0].path == "src/m5.py"  # self-similarity wins
     assert res[0].score > 0.8
     assert res[0].matches_in_file >= 1
+
+
+def test_pipeline_empty_source_is_valid_state(spark, tmp_path):
+    """A source whose files are all filtered out (or an empty table) is a
+    legitimate pipeline state: every stage completes, reads return empty
+    frames with the right schemas — no schema-inference crashes."""
+    from sema_spark.schemas import REPOS
+
+    base = str(tmp_path / "kg")
+    empty = spark.createDataFrame([], REPOS)
+    run = P.run_pipeline(spark, empty, base)
+    assert P.read_triples(spark, base).count() == 0
+    assert P.read_edges(spark, base).count() == 0
+    assert set(P.read_triples(spark, base).columns) >= {"subj", "pred", "obj"}
+    # a rerun is equally calm
+    run2 = P.run_pipeline(spark, empty, base)
+    assert not run2.triples.skipped or run2.triples.output_rows == 0
+
+
+def test_fuzzy_flag_change_regenerates_linked(spark, tmp_path):
+    """The snapshot skip fingerprint covers pipeline params: flipping
+    fuzzy= must re-run stage 2 (and stage 4, which keys on stage-2's
+    run_id) even though the input keys are unchanged."""
+    base = str(tmp_path / "kg")
+    src = corpus_df(spark, "xs")
+    r_a = P.run_pipeline(spark, src, base, fuzzy=True)
+    r_b = P.run_pipeline(spark, src, base, fuzzy=True)
+    assert r_b.linked.skipped and r_b.edges.skipped
+    r_c = P.run_pipeline(spark, src, base, fuzzy=False)
+    assert not r_c.linked.skipped and not r_c.edges.skipped
+    assert r_c.triples.skipped  # stage 1 unaffected by the flag
