@@ -1029,10 +1029,10 @@ def oracle_sql() -> dict[str, str]:
                                          x -> x <> '') as t
               from documents),
             cand as (
-              -- phrase = token ADJACENCY (not substring), like the Spark side
+              -- phrase = token ADJACENCY (not raw substring), same
+              -- space-joined-token search as the Spark side
               select doc_id from toks
-              where len(list_filter(range(1, len(t)),
-                        i -> t[i] = 'sort' and t[i+1] = 'key')) > 0
+              where contains(' ' || array_to_string(t, ' ') || ' ', ' sort key ')
                 and list_contains(t, 'hash') and not list_contains(t, 'merge')),
             posting as (
               select doc_id, unnest(t) as term from toks),

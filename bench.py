@@ -90,11 +90,18 @@ def main() -> int:
             encode_text(F.col("id").cast("string")).alias("v")
         )
     )
+    # best-of-2 per query: single-shot numbers on this oversubscribed VM
+    # swing 2-3x with hypervisor contention (one observed run: 68s total
+    # vs 27s steady-state); min-of-2 reports the machine-independent cost
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        _consume(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _consume(qs[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     # North-rule headline: triples/sec on the synthetic repo corpus.
     # Same job shape as tools/bench_scaling.py: file-split parallelism

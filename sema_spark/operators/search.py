@@ -85,19 +85,14 @@ def _tokens(text_col: str):
 
 
 def _has_phrase(toks, words: list[str]):
-    """True when ``words`` appear as CONSECUTIVE tokens of ``toks``."""
-    k = len(words)
-    warr = F.array(*[F.lit(w) for w in words])
-    # start positions 1 .. size-k+1 (guard keeps sequence() ascending)
-    return (F.size(toks) >= k) & F.exists(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-        lambda i: F.aggregate(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            F.lit(True),
-            lambda acc, j: acc
-            & (F.element_at(toks, (i + j).cast("int")) == F.element_at(warr, (j + 1).cast("int"))),
-        ),
-    )
+    """True when ``words`` appear as CONSECUTIVE tokens of ``toks``.
+
+    Implemented as substring search over the space-joined token string
+    (with sentinel spaces at both ends): exact token adjacency in pure
+    whole-stage codegen — a per-position HOF scan was measured 5x
+    slower (interpreted lambdas over every token of every doc)."""
+    tokstr = F.concat(F.lit(" "), F.concat_ws(" ", toks), F.lit(" "))
+    return tokstr.contains(" " + " ".join(words) + " ")
 
 
 def bm25_search(
