@@ -4,10 +4,10 @@
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 +
 training-data operators), each ``(spark, sf_dir) -> DataFrame``.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-(tables pre-registered as views).  Rows-only entries (no oracle): the
-UDF-shaped operators (chunker, encoder, minhash/LSH, IVF ANN, KG
-pipeline stages) — their correctness gates live in tests/ against
-construction-time oracles.
+(tables pre-registered as views; the KG queries diff against
+construction-time expected sets materialized as parquet).  Rows-only
+entries (5 of 46): chunker, encoder, minhash dedup, semantic search,
+PageRank — byte-parity / numpy-equality / P-R gates in tests/ instead.
 
 Column names are aliased identically on both sides; float-valued
 results are rounded on both sides; sums use exact decimal arithmetic so
