@@ -18,6 +18,7 @@ symbols and resolved in stage 2.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 from dataclasses import dataclass
 
@@ -209,6 +210,15 @@ def _edge_triples(repo: str):
     return out
 
 
+@functools.lru_cache(maxsize=4)
+def _generated(scale: str):
+    """Memoized corpus (render + sha of a bench-scale corpus is seconds
+    of driver CPU; expected_edges and write_expected_tables would
+    otherwise regenerate it back to back).  Treat the returned
+    structures as READ-ONLY — they are shared across callers."""
+    return generate_corpus(scale)
+
+
 def generate_corpus(scale: str = "xs") -> tuple[list[FileRow], set[tuple[str, str, str]]]:
     """Return (file rows, exact expected triple set) for a scale."""
     n_repos, base_modules, mono_factor, body_factor = SCALES[scale]
@@ -241,14 +251,14 @@ def generate_corpus(scale: str = "xs") -> tuple[list[FileRow], set[tuple[str, st
 def corpus_df(spark, scale: str = "xs"):
     from sema_spark.schemas import REPOS
 
-    rows, _ = generate_corpus(scale)
+    rows, _ = _generated(scale)
     return spark.createDataFrame([r.__dict__ for r in rows], REPOS)
 
 
 def expected_triples_df(spark, scale: str = "xs"):
     from pyspark.sql.types import StringType, StructField, StructType
 
-    _, expected = generate_corpus(scale)
+    _, expected = _generated(scale)
     schema = StructType(
         [
             StructField("subj", StringType(), False),
@@ -357,7 +367,7 @@ def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    _, triples = generate_corpus(scale)
+    _, triples = _generated(scale)
 
     def write(name: str, cols: tuple[str, str, str], data: set[tuple[str, str, str]]) -> None:
         rows = sorted(data)

@@ -200,21 +200,24 @@ def merge_key(nodes: DataFrame) -> DataFrame:
 def canonicalize_nodes(nodes: DataFrame) -> DataFrame:
     """NODES(-canonical_id) → NODES with canonical_id.
 
-    Star edges per merge key (hub = min entity id in the key group) feed
-    generic connected components; canonical id = component min.  External
-    entities (kind='external' / no sha) canonicalize to themselves.
+    canonical id = min entity id per merge-key group, computed as ONE
+    aggregation + one join.  No connected-components pass: merge_key is
+    a pure function of the node, so no entity can belong to two key
+    groups and the equivalence classes ARE the groups — running CC over
+    the star edges (as an earlier version did) provably recomputed the
+    hub it already had, at the cost of a full CC invocation per stage-3
+    run.  :func:`connected_components` remains the tool for genuinely
+    transitive merges (dedup duplicate graphs, J4) and is the drop-in
+    here if nodes ever carry MULTIPLE merge keys.  Entities with a NULL
+    merge key (kind='external' / no sha) canonicalize to themselves —
+    the null join key matches nothing, exactly as the old star edges
+    dropped null keys.
     """
     keyed = merge_key(nodes)
     hubs = keyed.groupBy("merge_key").agg(F.min("entity_id").alias("hub"))
-    star_edges = (
-        keyed.join(hubs, "merge_key")
-        .filter(F.col("entity_id") != F.col("hub"))
-        .select(F.col("entity_id").alias("a"), F.col("hub").alias("b"))
-    )
-    comp = connected_components(star_edges)
-    out = keyed.join(comp, keyed["entity_id"] == comp["id"], "left").select(
+    out = keyed.join(hubs, "merge_key", "left").select(
         keyed["entity_id"],
-        F.coalesce(F.col("component"), keyed["entity_id"]).alias("canonical_id"),
+        F.coalesce(F.col("hub"), keyed["entity_id"]).alias("canonical_id"),
         "kind",
         keyed["repo"],
         keyed["path"],

@@ -225,20 +225,26 @@ def _fuzzy_link(unresolved: DataFrame, alias: DataFrame, threshold: float) -> Da
     a_blocked = a0.withColumn("_p", prefix(F.col("_n"))).join(
         q_blocks, on=["repo", "_p"], how="left_semi"
     ).transform(materialize)
-    qs = (
-        q_rest.transform(lambda d: with_minhash(d, text_col="_n", shingle_words=False))
-        .withColumn("q_emb", encode_text(F.col("_n")))
-    )
-    cands = (
-        a_blocked.transform(lambda d: with_minhash(d, text_col="_n", shingle_words=False))
-        .withColumn("c_emb", encode_text(F.col("_n")))
-    )
-    q_bands = explode_bands(qs, ["repo", "obj", "q_emb"])
-    c_bands = explode_bands(cands, ["repo", "alias", "cand_id", "c_emb"])
-    pairs = (
+    # SLIM banding (same discipline as dedup): the exploded band rows
+    # carry only ids — threading the 384-float embeddings through the
+    # band join would shuffle 16 copies of each vector and run
+    # distinct() over array rows; embeddings rejoin after pair dedup
+    qs = q_rest.transform(lambda d: with_minhash(d, text_col="_n", shingle_words=False))
+    cands = a_blocked.transform(lambda d: with_minhash(d, text_col="_n", shingle_words=False))
+    q_bands = explode_bands(qs, ["repo", "obj"])
+    c_bands = explode_bands(cands, ["repo", "alias", "cand_id"])
+    cand_pairs = (
         q_bands.join(c_bands, on=["repo", "band", "bh"], how="inner")
-        .select("repo", "obj", "cand_id", "q_emb", "c_emb")
+        .select("repo", "obj", "alias", "cand_id")
         .distinct()
+    )
+    q_embs = q_rest.select("repo", "obj", encode_text(F.col("_n")).alias("q_emb"))
+    c_embs = a_blocked.select("repo", "alias", encode_text(F.col("_n")).alias("c_emb")).dropDuplicates(
+        ["repo", "alias"]
+    )
+    pairs = (
+        cand_pairs.join(q_embs, ["repo", "obj"])
+        .join(c_embs, ["repo", "alias"])
         .withColumn("score", cosine("q_emb", "c_emb"))
         .filter(F.col("score") >= threshold)
     )

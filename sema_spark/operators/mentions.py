@@ -287,9 +287,13 @@ _COMPILED: dict[str, list[tuple[str, re.Pattern]]] = {}
 
 
 def _compiled_bank(lang: str):
+    # re.ASCII: Java regex \w is ASCII-only, Python's is Unicode — the
+    # two paths must match the same identifiers ('def café(x):' would
+    # otherwise produce a triple on the Arrow path and none on the SQL
+    # path, breaking the interchangeability contract)
     if lang not in _COMPILED:
-        _COMPILED[lang] = [(k, re.compile(p)) for k, p in PATTERN_BANK.get(lang, [])]
-        _COMPILED[lang + "/class"] = re.compile(CLASS_PATTERN.get(lang, r"$^"))
+        _COMPILED[lang] = [(k, re.compile(p, re.ASCII)) for k, p in PATTERN_BANK.get(lang, [])]
+        _COMPILED[lang + "/class"] = re.compile(CLASS_PATTERN.get(lang, r"$^"), re.ASCII)
     return _COMPILED[lang], _COMPILED[lang + "/class"]
 
 

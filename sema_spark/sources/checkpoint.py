@@ -76,20 +76,33 @@ def _lineage_dir(base: str, stage: str) -> str:
     return f"{base}/{stage}/lineage"
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
-    """Empty frame ONLY for a genuinely absent path ('no checkpoint yet').
+_ABSENT = ("PATH_NOT_FOUND",)
+_ABSENT_OR_EMPTY = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 
-    Any other failure (corruption, permissions, transient storage error)
-    must propagate: swallowing it would silently reprocess and re-append
+
+def _read_parquet(
+    spark: SparkSession, path: str, *, read_schema=None, empty_schema=None, codes=_ABSENT
+) -> DataFrame:
+    """Read parquet; an AnalysisException matching ``codes`` returns an
+    empty frame when ``empty_schema`` is given, otherwise propagates.
+    The ONE place the absent-vs-broken policy lives: anything outside
+    ``codes`` (corruption, permissions, transient storage errors) always
+    propagates — swallowing it would silently reprocess and re-append
     every file on the next incremental run."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.schema(schema).parquet(path)
+        reader = spark.read.schema(read_schema) if read_schema is not None else spark.read
+        return reader.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
-            return spark.createDataFrame([], schema)
+        if empty_schema is not None and any(c in str(e) for c in codes):
+            return spark.createDataFrame([], empty_schema)
         raise
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Empty frame ONLY for a genuinely absent path ('no checkpoint yet')."""
+    return _read_parquet(spark, path, read_schema=schema, empty_schema=schema)
 
 
 def read_checkpoint_log(spark: SparkSession, base: str, stage: str) -> DataFrame:
@@ -153,9 +166,14 @@ def run_incremental_stage(
     ckpt = current_checkpoint(spark, base, stage)
     pending = pending_files(src, ckpt)
     # The checkpoint keys of this increment (small: one row per file).
-    files = pending.select("repo", "path", "content_sha").distinct()
+    # Persisted: unpersisted, the count here and the checkpoint append
+    # below would EACH rescan+rehash the full content (the anti-join
+    # reads every byte) — and the committed keys must come from the same
+    # evaluation the count saw.
+    files = pending.select("repo", "path", "content_sha").distinct().persist()
     n_files = files.count()
     if n_files == 0:
+        files.unpersist()
         return StageRun(stage, run_id, 0, 0, skipped=True)
 
     out = transform(pending).withColumn("run_id", F.lit(run_id))
@@ -183,6 +201,7 @@ def run_incremental_stage(
         ).write.mode("append").parquet(_ckpt_dir(base, stage))
     finally:
         out.unpersist()
+        files.unpersist()
     return StageRun(stage, run_id, n_files, n_rows, skipped=False)
 
 
@@ -198,16 +217,11 @@ def read_stage_output(spark: SparkSession, base: str, stage: str, schema=None) -
     caller gets an empty DataFrame instead of an error (an empty or
     fully-filtered source is a valid pipeline state, not a crash).
     """
-    from pyspark.errors import AnalysisException
-
-    try:
-        data = spark.read.parquet(_data_dir(base, stage))
-    except AnalysisException as e:
-        if schema is not None and (
-            "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e)
-        ):
-            return spark.createDataFrame([], schema)
-        raise
+    data = _read_parquet(
+        spark, _data_dir(base, stage), empty_schema=schema, codes=_ABSENT_OR_EMPTY
+    )
+    if "run_id" not in data.columns:
+        return data  # legitimately-empty stage: nothing to join
     ckpt = current_checkpoint(spark, base, stage)
     keys = ["repo", "path", "content_sha", "run_id"]
     return data.join(ckpt.select(*keys), on=keys, how="left_semi").drop("run_id")
@@ -243,12 +257,21 @@ _COMMIT_MARK = "__SNAPSHOT__"
 
 
 def input_fingerprint(keys: DataFrame) -> str:
-    """Order-independent fingerprint of a (repo, path, content_sha) set."""
-    row = keys.select(
-        F.count("*").alias("n"),
-        # bit_xor not sum: order-independent and safe under ANSI overflow
-        F.bit_xor(F.xxhash64("repo", "path", "content_sha")).alias("s"),
-    ).collect()[0]
+    """Order-independent fingerprint of a (repo, path, content_sha) set.
+
+    Distinct-ed here, not trusted from the caller: xor lets duplicate
+    rows cancel (A⊕A⊕B == C⊕C⊕B), so a multiset input could fingerprint
+    equal across genuinely different inputs and skip a stale snapshot."""
+    row = (
+        keys.select("repo", "path", "content_sha")
+        .distinct()
+        .select(
+            F.count("*").alias("n"),
+            # bit_xor not sum: order-independent and safe under ANSI overflow
+            F.bit_xor(F.xxhash64("repo", "path", "content_sha")).alias("s"),
+        )
+        .collect()[0]
+    )
     return f"{row.n}:{row.s}"
 
 
@@ -315,19 +338,14 @@ def run_snapshot_stage(
 def read_snapshot(spark: SparkSession, base: str, stage: str, schema=None) -> DataFrame:
     """Rows of the latest committed snapshot run.  ``schema`` handles the
     legitimately-empty committed snapshot (see read_stage_output)."""
-    from pyspark.errors import AnalysisException
-
     last = _latest_commit(spark, base, stage)
     if last is None:
         raise FileNotFoundError(f"no committed snapshot for stage {stage!r} under {base}")
-    try:
-        data = spark.read.parquet(_data_dir(base, stage))
-    except AnalysisException as e:
-        if schema is not None and (
-            "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e)
-        ):
-            return spark.createDataFrame([], schema)
-        raise
+    data = _read_parquet(
+        spark, _data_dir(base, stage), empty_schema=schema, codes=_ABSENT_OR_EMPTY
+    )
+    if "run_id" not in data.columns:
+        return data  # legitimately-empty snapshot
     return data.filter(F.col("run_id") == last.run_id).drop("run_id")
 
 
@@ -345,6 +363,29 @@ def _list_children(spark: SparkSession, path: str) -> list[str]:
     if not fs.exists(hpath(path)):
         return []
     return [s.getPath().toString() for s in fs.listStatus(hpath(path))]
+
+
+def _partition_cols_of(spark: SparkSession, data_dir: str) -> list[str]:
+    """Partition columns BELOW run_id, inferred from the directory
+    layout of an existing run — compact must write the same layout or
+    the data dir would mix partition depths and become unreadable."""
+    cols: list[str] = []
+    rundirs = [
+        p for p in _list_children(spark, data_dir) if p.rsplit("/", 1)[-1].startswith("run_id=")
+    ]
+    if not rundirs:
+        return cols
+    cur = rundirs[0]
+    while True:
+        subs = [
+            p
+            for p in _list_children(spark, cur)
+            if "=" in p.rsplit("/", 1)[-1] and not p.rsplit("/", 1)[-1].startswith("_")
+        ]
+        if not subs:
+            return cols
+        cols.append(subs[0].rsplit("/", 1)[-1].split("=", 1)[0])
+        cur = subs[0]
 
 
 def compact(spark: SparkSession, base: str, stage: str) -> str:
@@ -366,9 +407,19 @@ def compact(spark: SparkSession, base: str, stage: str) -> str:
 
     Tombstoned files get no new checkpoint row: if their old tombstone
     row survives a partial GC it still reads as deleted; once GC'd the
-    file has no row at all — also deleted.  Returns the new run_id."""
+    file has no row at all — also deleted.  Returns the new run_id.
+
+    SINGLE-WRITER maintenance op: crash-safe against itself, but do not
+    run it concurrently with ingest into the same stage — a writer whose
+    data landed before compact's GC listing but whose checkpoint row
+    landed after step (2) would have its data collected while its
+    checkpoint row survives (the optimistic-commit protection a real
+    catalog provides is exactly what plain directories lack)."""
     rid = new_run_id()
     last = _latest_commit(spark, base, stage)
+    # preserve the stage's partition layout below run_id — writing a
+    # different depth would make the directory unreadable mid-GC
+    extra_parts = _partition_cols_of(spark, _data_dir(base, stage))
     old_data = [
         p for p in _list_children(spark, _data_dir(base, stage)) if f"run_id={rid}" not in p
     ]
@@ -382,7 +433,7 @@ def compact(spark: SparkSession, base: str, stage: str) -> str:
         live = read_stage_output(spark, base, stage).withColumn("run_id", F.lit(rid))
         ckpt_new = current_checkpoint(spark, base, stage).withColumn("run_id", F.lit(rid))
     # (1) data append: read of the old state completes while writing
-    live.write.mode("append").partitionBy("run_id").parquet(_data_dir(base, stage))
+    live.write.mode("append").partitionBy("run_id", *extra_parts).parquet(_data_dir(base, stage))
     # (2) checkpoint append: the compacted run becomes current
     ckpt_new.write.mode("append").parquet(_ckpt_dir(base, stage))
     # (3) GC the superseded files (anything that existed before (2))

@@ -168,3 +168,26 @@ def test_run_ids_sortable_and_unique_within_second(spark):
     # new format supersedes old-format ids from the same second
     old_style = ids[0].split(".")[0] + "-deadbeef"
     assert ids[0] > old_style
+
+
+def test_compact_partitioned_snapshot_stage(spark, src, tmp_path):
+    """compact must preserve the stage's partition layout below run_id —
+    a different depth would mix leaf levels and make the dir unreadable."""
+    base = str(tmp_path / "kg")
+    keys = src.select("repo", "path", "content_sha")
+
+    def prod():
+        return src.select(
+            "repo", "path",
+            F.when(F.col("path").endswith(".py"), "py").otherwise("other").alias("kind"),
+        )
+
+    ck.run_snapshot_stage(spark, keys, "nodes", base, prod, partition_cols=["kind"])
+    ck.run_snapshot_stage(
+        spark, keys.limit(10), "nodes", base, lambda: prod().limit(10), partition_cols=["kind"]
+    )
+    before = ck.read_snapshot(spark, base, "nodes").count()
+    ck.compact(spark, base, "nodes")
+    after = ck.read_snapshot(spark, base, "nodes")
+    assert after.count() == before and "kind" in after.columns
+    assert spark.read.parquet(f"{base}/nodes/data").count() == before
