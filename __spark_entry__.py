@@ -1286,9 +1286,14 @@ def oracle_sql() -> dict[str, str]:
                      case i % 3 when 0 then 'image' when 1 then 'audio' else 'video' end as kind,
                      sha256(repeat(sha256('media-' || i), 4)) as h
               from range(0, 24) t(i))
+            -- float32 round-trip replicated exactly: Spark stores the
+            -- feature as array<float>, so the oracle quantizes b/255
+            -- through float before rounding (for b in {80,131,182} the
+            -- exact-double rounding would differ at the 6th decimal)
             select media_id, kind, 64 as dim,
-                   round(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) / 255.0, 6) as f0
+                   round(cast(cast(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) / 255.0
+                        as float) as double), 6) as f0
             from m
         """,
         "curation_pipeline": rf"""

@@ -294,7 +294,7 @@ def expected_edges(scale: str = "xs") -> set[tuple[str, str, str]]:
       lexicographic min entity id per merge group
       (operators/canonicalize.merge_key/canonicalize_nodes).
     """
-    rows, triples = generate_corpus(scale)
+    rows, triples = _generated(scale)
     sha = {f"{r.repo}/{r.path}": hashlib.sha256(r.content.encode()).hexdigest() for r in rows}
 
     def file_of(entity: str) -> str:

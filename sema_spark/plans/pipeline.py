@@ -88,10 +88,12 @@ def run_pipeline(
     keys = triples.select("repo", "path", "content_sha").distinct()
 
     # params fold non-key dependencies into each skip fingerprint:
-    # stage 2 depends on the fuzzy flag, stage 4 on the run_ids of the
-    # snapshots it derives from (a skipped upstream keeps its prior
-    # run_id, so downstream stays skippable; a regenerated upstream
-    # forces the derivation to re-run)
+    # stage 2 depends on the fuzzy flag, stage 4 on the FINGERPRINTS of
+    # the snapshots it derives from (content-stable: a skipped upstream
+    # keeps its fingerprint, so downstream stays skippable; a
+    # regenerated upstream changes it and forces the derivation to
+    # re-run; a compacted upstream keeps it, so compaction does not
+    # trigger spurious downstream regeneration)
     r2 = run_snapshot_stage(
         spark, keys, STAGE_LINKED, base, lambda: link_triples(triples, fuzzy=fuzzy),
         params=f"fuzzy={fuzzy}",
@@ -107,7 +109,7 @@ def run_pipeline(
     r4 = run_snapshot_stage(
         spark, keys, STAGE_EDGES, base, lambda: canonical_edges(linked, nodes),
         partition_cols=["pred"],
-        params=f"linked={r2.run_id};nodes={r3.run_id}",
+        params=f"linked={r2.fingerprint};nodes={r3.fingerprint}",
     )
     return PipelineRun(r1, r2, r3, r4)
 

@@ -33,7 +33,7 @@ REPOS = StructType(
 )
 
 # Chunk record — generalizes the reference Chunk
-# (/root/reference/src/types/mod.rs:40-47): id = "{path}:{chunk_idx}".
+# (/root/reference/src/types/mod.rs:40-47): id = "{repo}/{path}:{chunk_idx}" (repo-qualified; the single-repo reference uses path alone).
 CHUNKS = StructType(
     [
         StructField("id", StringType(), False),

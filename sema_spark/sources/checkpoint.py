@@ -145,6 +145,10 @@ class StageRun:
     input_files: int
     output_rows: int
     skipped: bool
+    # snapshot stages: the committed input fingerprint (stable across
+    # compaction, unlike run_id) — downstream stages key their skip
+    # fingerprints on this
+    fingerprint: str | None = None
 
 
 def run_incremental_stage(
@@ -313,7 +317,7 @@ def run_snapshot_stage(
         fp = f"{fp}:{params}"
     last = _latest_commit(spark, base, stage)
     if last is not None and last.content_sha == fp:
-        return StageRun(stage, last.run_id, 0, 0, skipped=True)
+        return StageRun(stage, last.run_id, 0, 0, skipped=True, fingerprint=fp)
     out = producer().withColumn("run_id", F.lit(run_id)).persist()
     try:
         parts = ["run_id"] + (partition_cols or [])
@@ -332,7 +336,7 @@ def run_snapshot_stage(
         ).write.mode("append").parquet(_ckpt_dir(base, stage))
     finally:
         out.unpersist()
-    return StageRun(stage, run_id, -1, n_rows, skipped=False)
+    return StageRun(stage, run_id, -1, n_rows, skipped=False, fingerprint=fp)
 
 
 def read_snapshot(spark: SparkSession, base: str, stage: str, schema=None) -> DataFrame:
@@ -417,6 +421,12 @@ def compact(spark: SparkSession, base: str, stage: str) -> str:
     catalog provides is exactly what plain directories lack)."""
     rid = new_run_id()
     last = _latest_commit(spark, base, stage)
+    if not any(
+        "run_id=" in p.rsplit("/", 1)[-1] for p in _list_children(spark, _data_dir(base, stage))
+    ):
+        # legitimately-empty stage (zero-row runs write no files): nothing
+        # to rewrite and no schema to infer — no-op
+        return rid
     # preserve the stage's partition layout below run_id — writing a
     # different depth would make the directory unreadable mid-GC
     extra_parts = _partition_cols_of(spark, _data_dir(base, stage))

@@ -127,9 +127,10 @@ def test_pipeline_empty_source_is_valid_state(spark, tmp_path):
     assert P.read_triples(spark, base).count() == 0
     assert P.read_edges(spark, base).count() == 0
     assert set(P.read_triples(spark, base).columns) >= {"subj", "pred", "obj"}
-    # a rerun is equally calm
+    # a rerun skips every stage (nothing changed) and appends nothing
     run2 = P.run_pipeline(spark, empty, base)
-    assert not run2.triples.skipped or run2.triples.output_rows == 0
+    assert not run2.any_work
+    assert P.read_triples(spark, base).count() == 0
 
 
 def test_fuzzy_flag_change_regenerates_linked(spark, tmp_path):

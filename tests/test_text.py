@@ -86,7 +86,8 @@ def test_spark_duckdb_parity_on_documents(spark):
         len(regexp_extract_all(lower(text), '{de}')) as c_de,
         len(regexp_extract_all(lower(text), '{fr}')) as c_fr,
         len(regexp_extract_all(lower(text), '{es}')) as c_es,
-        len(regexp_split_to_array(trim(text), '\\s+')) as n_words,
+        (case when trim(text) = '' then 0
+              else len(regexp_split_to_array(trim(text), '\\s+')) end) as n_words,
         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) as n_tokens,
         (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / nullif(length(text), 0) as pr
       from read_parquet('{sf}/documents.parquet'))
