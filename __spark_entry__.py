@@ -197,6 +197,14 @@ def q_tpch_q1_pricing(spark, sf):
     decimal division: Spark rounds the shortest-repr BigDecimal while
     DuckDB rounds the raw binary value, and they disagree on
     representation ties (the round-1 hash mismatch).
+
+    The sums stay decimal INTERNALLY (exact, order-independent) but
+    the final columns are cast to double: DuckDB's pandas conversion
+    renders DECIMAL as float64 while Spark would emit Decimal objects,
+    so a DecimalType output column can never hash-match the driver
+    gate (the round-2 failure).  One exact-decimal→double cast is
+    correctly rounded and identical in both engines, unlike summing
+    doubles.
     """
     li = _table(spark, sf, "lineitem")
     d = lambda c: F.col(c).cast("decimal(18,2)")
@@ -213,9 +221,9 @@ def q_tpch_q1_pricing(spark, sf):
         .select(
             "l_returnflag",
             "l_linestatus",
-            "sum_qty",
-            "sum_base_price",
-            "sum_disc_price",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+            F.col("sum_base_price").cast("double").alias("sum_base_price"),
+            F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
             "count_order",
             (F.expr("(2 * _n + count_order) DIV (2 * count_order)") / F.lit(10000.0)).alias("avg_qty"),
         )
@@ -425,9 +433,15 @@ def q_events_windowed_agg(spark, sf):
     # value is exactly 2-decimal in the test data, so decimal(18,2) is a
     # tie-free cast in both engines and the sum is EXACT — double sums
     # drift with partial-agg addition order (round-1 sessionization bug).
+    # The FINAL column is cast to double (one exact, correctly-rounded
+    # conversion) because a DecimalType output can't hash-match the
+    # driver's DuckDB pandas path (round-2 failure).
     return (
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
     )
 
 
@@ -510,8 +524,10 @@ def q_sessionization(spark, sf):
     )
     return sessions.groupBy("user_id", "session_idx").agg(
         F.count("*").alias("n_events"),
-        # exact decimal sum — double sums drift cross-engine (round 1)
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("session_value"),
+        # exact decimal sum — double sums drift cross-engine (round 1);
+        # final cast to double — DecimalType output can't hash-match
+        # the driver's DuckDB pandas path (round 2)
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
     )
 
 
@@ -909,11 +925,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1_pricing": """
             select l_returnflag, l_linestatus,
-                   sum(cast(l_quantity as decimal(18,2))) as sum_qty,
-                   sum(cast(l_extendedprice as decimal(18,2))) as sum_base_price,
-                   sum(cast(cast(l_extendedprice as decimal(18,2))
+                   cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+                   cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+                   cast(sum(cast(cast(l_extendedprice as decimal(18,2))
                        * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
-                       as decimal(28,6))) as sum_disc_price,
+                       as decimal(28,6))) as double) as sum_disc_price,
                    count(*) as count_order,
                    ((2 * cast(sum(cast(l_quantity as decimal(18,2))) * 10000 as bigint) + count(*))
                       // (2 * count(*))) / 10000.0 as avg_qty
@@ -1087,7 +1103,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_windowed_agg": """
             select date_trunc('hour', ts) as hour, event_type,
-                   count(*) as n, sum(cast(value as decimal(18,2))) as sum_value
+                   count(*) as n,
+                   cast(sum(cast(value as decimal(18,2))) as double) as sum_value
             from events group by 1, 2
         """,
         "rollup_counts": """
@@ -1096,7 +1113,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             select event_type,
-                   sum(cast(props->>'k' as int)) as sum_k,
+                   cast(sum(cast(props->>'k' as int)) as bigint) as sum_k,
                    count(cast(props->>'k' as int)) as n_k,
                    max(cast(props->>'k' as int)) as max_k
             from events group by event_type
@@ -1175,12 +1192,14 @@ def oracle_sql() -> dict[str, str]:
               from events),
             s as (
               select user_id, value,
-                     sum(case when gap is null or gap > 1800 then 1 else 0 end)
+                     -- cast: windowed sum(int) is HUGEINT in DuckDB →
+                     -- float64 in pandas; Spark emits int64
+                     cast(sum(case when gap is null or gap > 1800 then 1 else 0 end)
                        over (partition by user_id order by ts
-                             rows between unbounded preceding and current row) as session_idx
+                             rows between unbounded preceding and current row) as bigint) as session_idx
               from g)
             select user_id, session_idx, count(*) as n_events,
-                   sum(cast(value as decimal(18,2))) as session_value
+                   cast(sum(cast(value as decimal(18,2))) as double) as session_value
             from s group by user_id, session_idx
         """,
         "dedup_simhash": r"""
