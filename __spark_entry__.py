@@ -593,9 +593,14 @@ def q_rollup_counts(spark, sf):
     )
 
 
-# --------------------------- rows-only (non-SQL-expressible) operators ----
+# ------------------------------------- UDF-backed operators with oracles --
 def q_w1_chunker(spark, sf):
-    """W1: reference sliding-window chunker over documents (UDF)."""
+    """W1: reference sliding-window chunker over documents (UDF).
+
+    Oracle: a recursive-CTE replication of the byte-window walk in
+    DuckDB (valid because the documents table is pure ASCII, so 1 char
+    == 1 byte; validated against chunk_python on adversarial
+    newline/multi-chunk texts in tests/test_chunker.py)."""
     from sema_spark.operators.chunker import chunk_files
 
     docs = _docs(spark, sf).select(
@@ -607,14 +612,26 @@ def q_w1_chunker(spark, sf):
 
 
 def q_u1_encoder(spark, sf):
-    """U1: deterministic hashing encoder (384-dim, L2-normalized)."""
+    """U1: deterministic hashing encoder (384-dim, L2-normalized).
+
+    nnz (count of nonzero components) is integer-exact through the
+    float32 round-trip and content-dependent — the oracle replicates
+    the full 3-gram/multiplicative-hash/sign pipeline in SQL, so any
+    drift in tokenization, truncation, hashing, or index mapping flips
+    it.  norm checks L2 normalization (1.0 at round-4 for any nonzero
+    vector)."""
     from sema_spark.functions.encoder import encode_text
     from sema_spark.functions.vector import l2_norm
 
     return (
         _docs(spark, sf)
         .select("doc_id", encode_text(F.col("text")).alias("embedding"))
-        .select("doc_id", F.round(l2_norm("embedding"), 4).alias("norm"), F.size("embedding").alias("dim"))
+        .select(
+            "doc_id",
+            F.round(l2_norm("embedding"), 4).alias("norm"),
+            F.size("embedding").alias("dim"),
+            F.size(F.filter("embedding", lambda x: x != F.lit(0.0))).alias("nnz"),
+        )
     )
 
 
@@ -732,17 +749,15 @@ def q_kg_degree_hist(spark, sf):
 
 def q_kg_pagerank(spark, sf):
     """PageRank over the canonical KG edges (iterative DataFrame power
-    iteration — genuinely non-SQL-expressible; the exactness gate is the
-    numpy reference in tests/test_graph.py)."""
+    iteration).  Oracle: an independent numpy power iteration over the
+    construction-time expected edges (corpus.expected_pagerank),
+    materialized as parquet — all nodes, ranks compared at round(6)
+    (the two float64 iterations agree to ~1e-12)."""
     from sema_spark.operators.graph import pagerank
 
     edges = q_kg_pipeline_edges(spark, sf)
     ranks = pagerank(edges, iterations=5)
-    return (
-        ranks.orderBy(F.desc("rank"), "id")
-        .limit(20)
-        .select("id", F.round("rank", 6).alias("rank"))
-    )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
 def q_curation_pipeline(spark, sf):
@@ -1283,6 +1298,90 @@ def oracle_sql() -> dict[str, str]:
               from g a join g b on a.doc_id < b.doc_id)
             select a, b, c / cast(s - c as double) as jaccard
             from p where c / cast(s - c as double) >= 0.8
+        """,
+        "w1_chunker": r"""
+            -- recursive-CTE replication of the reference byte-window
+            -- chunker (chunker.chunk_python): 1000-byte windows snapped
+            -- back to just-after the last newline, 100-byte overlap,
+            -- 50-byte min (first chunk exempt).  Valid because the
+            -- documents table is pure ASCII (1 char == 1 byte);
+            -- validated against chunk_python on adversarial texts in
+            -- tests/test_chunker.py.  Each walk row is the state
+            -- BEFORE cutting one chunk at `start`; kept=1 on the
+            -- initial row (idx 0 always kept) and by the >=50 rule on
+            -- successors.
+            with recursive doc as (
+              select source as repo, cast(doc_id as varchar) as path,
+                     text as content, length(text) as n
+              from documents
+              where text is not null and length(text) >= 50
+            ),
+            walk(repo, path, content, n, start, idx, safe_end, kept) as (
+              select repo, path, content, n, 0, 0, s0.safe_end, 1
+              from doc, lateral (
+                select case when e < n and strpos(reverse(substr(content, 1, e)), chr(10)) > 0
+                            then e - strpos(reverse(substr(content, 1, e)), chr(10)) + 1
+                            else e end as safe_end
+                from (select least(1000, n) as e)) s0
+              union all
+              select repo, path, content, n, new_start, idx + kept, s1.safe_end2,
+                     case when s1.safe_end2 - new_start >= 50 then 1 else 0 end
+              from (
+                select repo, path, content, n, idx, kept,
+                       case when greatest(safe_end - 100, 0) <= start
+                            then safe_end else greatest(safe_end - 100, 0) end as new_start
+                from walk) w, lateral (
+                select case when e2 < n and strpos(reverse(substr(content, new_start + 1, e2 - new_start)), chr(10)) > 0
+                            then new_start + e2 - new_start
+                                 - strpos(reverse(substr(content, new_start + 1, e2 - new_start)), chr(10)) + 1
+                            else e2 end as safe_end2
+                from (select least(new_start + 1000, n) as e2)) s1
+              where new_start < n
+            )
+            select repo || '/' || path || ':' || idx as id,
+                   repo, idx as chunk_idx,
+                   1 + start - length(replace(substr(content, 1, start), chr(10), ''))
+                     as start_line,
+                   1 + start - length(replace(substr(content, 1, start), chr(10), ''))
+                     + (safe_end - start)
+                     - length(replace(substr(content, start + 1, safe_end - start), chr(10), ''))
+                     as end_line,
+                   safe_end - start as n_chars
+            from walk where kept = 1
+        """,
+        "u1_encoder": """
+            -- full SQL replication of the hashing encoder
+            -- (functions/encoder.encode_numpy): UTF-8 byte 3-grams
+            -- (ASCII table ⇒ ascii(char) == byte), truncation at 256,
+            -- Knuth multiplicative hash mod 2^32, component = sign-sum
+            -- at h % 384 with sign from bit 16.  nnz is integer-exact
+            -- through Spark's float32 round-trip; norm is 1.0 at
+            -- round-4 for any nonzero vector (L2-normalized).
+            with codes as (
+              select doc_id,
+                     unnest([ (ascii(substr(text, i, 1)) * 65536
+                             + ascii(substr(text, i + 1, 1)) * 256
+                             + ascii(substr(text, i + 2, 1))) * 2654435761 % 4294967296
+                             for i in range(1, least(length(text) - 2, 256) + 1) ]) as h
+              from documents
+              where text is not null and length(text) >= 3
+            ),
+            comps as (
+              select doc_id, h % 384 as idx,
+                     sum(case when (h // 65536) % 2 = 1 then 1 else -1 end) as s
+              from codes group by doc_id, idx
+            ),
+            nz as (
+              select doc_id, count(*) filter (s <> 0) as nnz from comps group by doc_id
+            )
+            select d.doc_id,
+                   case when coalesce(nz.nnz, 0) > 0 then 1.0 else 0.0 end as norm,
+                   384 as dim,
+                   cast(coalesce(nz.nnz, 0) as int) as nnz
+            from documents d left join nz on d.doc_id = nz.doc_id
+        """,
+        "kg_pagerank": f"""
+            select id, rank from read_parquet('{KG_EXPECTED_DIR}/pagerank.parquet')
         """,
         "kg_pipeline_triples": f"""
             select subj, pred, obj from read_parquet('{KG_EXPECTED_DIR}/triples.parquet')

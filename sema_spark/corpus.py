@@ -357,10 +357,40 @@ def expected_edges(scale: str = "xs") -> set[tuple[str, str, str]]:
     return edges
 
 
+def expected_pagerank(
+    scale: str = "xs", iterations: int = 5, damping: float = 0.85
+) -> dict[str, float]:
+    """Independent numpy power iteration over the expected edge set —
+    the same semantics as operators/graph.pagerank (distinct edges,
+    nodes = src ∪ dst, uniform dangling-mass redistribution) but a
+    dense float64 implementation with none of the Spark code paths.
+    Driver oracle for ``kg_pagerank`` (expected_edges is itself proven
+    equal to the pipeline's canonical edges by the kg_pipeline_edges
+    gate, so ranking over it is ranking over the pipeline output)."""
+    import numpy as np
+
+    pairs = sorted({(s, d) for s, _, d in expected_edges(scale)})
+    nodes = sorted({x for e in pairs for x in e})
+    ix = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    src = np.array([ix[s] for s, _ in pairs])
+    dst = np.array([ix[d] for _, d in pairs])
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.where(deg > 0, rank / np.where(deg > 0, deg, 1.0), 0.0)
+        flowed = np.zeros(n)
+        np.add.at(flowed, dst, contrib[src])
+        m = rank[deg == 0].sum()
+        rank = (1.0 - damping) / n + damping * (flowed + m / n)
+    return {v: float(rank[ix[v]]) for v in nodes}
+
+
 def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
-    """Materialize the construction-time expected triple + edge sets as
-    parquet (pyarrow, no Spark) so the DuckDB oracle can diff the
-    pipeline output against them (driver gate for kg_pipeline_*)."""
+    """Materialize the construction-time expected triple + edge sets —
+    plus the numpy pagerank over those edges — as parquet (pyarrow, no
+    Spark) so the DuckDB oracle can diff the pipeline output against
+    them (driver gate for kg_pipeline_* / kg_pagerank)."""
     import os
 
     import pyarrow as pa
@@ -369,9 +399,7 @@ def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
     os.makedirs(out_dir, exist_ok=True)
     _, triples = _generated(scale)
 
-    def write(name: str, cols: tuple[str, str, str], data: set[tuple[str, str, str]]) -> None:
-        rows = sorted(data)
-        table = pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)})
+    def write_table(name: str, table) -> None:
         # write-to-temp + atomic rename: concurrent harness processes
         # regenerate the same deterministic files and must never read a
         # half-written parquet
@@ -379,8 +407,24 @@ def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
         pq.write_table(table, tmp)
         os.replace(tmp, f"{out_dir}/{name}.parquet")
 
+    def write(name: str, cols: tuple[str, str, str], data: set[tuple[str, str, str]]) -> None:
+        rows = sorted(data)
+        write_table(name, pa.table({c: [r[i] for r in rows] for i, c in enumerate(cols)}))
+
     write("triples", ("subj", "pred", "obj"), triples)
     write("edges", ("src", "pred", "dst"), expected_edges(scale))
+    pr = expected_pagerank(scale, iterations=5)
+    write_table(
+        "pagerank",
+        pa.table(
+            {
+                "id": list(pr.keys()),
+                # round(6) here AND on the Spark side: the two float64
+                # iterations agree to ~1e-12, far inside the rounding
+                "rank": [round(v, 6) for v in pr.values()],
+            }
+        ),
+    )
 
 
 def write_corpus(spark, out_dir: str, scale: str = "xs", num_files: int | None = None) -> None:
