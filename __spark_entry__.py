@@ -810,6 +810,26 @@ def q_multimodal_features(spark, sf):
     )
 
 
+MULTIMODAL_EXPECTED_DIR = "/tmp/sema_expected_multimodal"
+
+
+def q_multimodal_real_decode(spark, sf):
+    """REAL multimodal decode: P6 PPM images and PCM-16 WAV audio parsed
+    by the pure-numpy codecs (strict=True — the fake path cannot fire),
+    emitting genuine pixel/sample statistics.  Oracle: the same
+    statistics computed directly from the deterministic generating
+    patterns, never through the codecs — equality gates the
+    encode→decode round trip and the Spark plumbing end to end."""
+    from sema_spark.operators.multimodal import decode_features, synthetic_real_media
+
+    out = decode_features(synthetic_real_media(spark, 16), strict=True)
+    cols = [
+        F.round(F.element_at("feature", j + 1).cast("double"), 6).alias(f"f{j}")
+        for j in range(9)
+    ]
+    return out.select("media_id", "kind", F.size("feature").alias("dim"), *cols)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark, sf_dir):
@@ -875,6 +895,7 @@ def _build_registry():
         "kg_pagerank": q_kg_pagerank,
         "semantic_search": q_semantic_search,
         "multimodal_features": q_multimodal_features,
+        "multimodal_real_decode": q_multimodal_real_decode,
     }
 
 
@@ -887,8 +908,10 @@ def oracle_sql() -> dict[str, str]:
     # as parquet (pure pyarrow, no Spark) — regenerated here so the files
     # exist regardless of query/oracle execution order.
     from sema_spark.corpus import write_expected_tables
+    from sema_spark.operators.multimodal import write_expected_real_features
 
     write_expected_tables(KG_EXPECTED_DIR, "xs")
+    write_expected_real_features(MULTIMODAL_EXPECTED_DIR, 16)
     en = r"\b(the|and|of|to|is|a)\b"
     de = r"\b(der|die|das|und|ist|ein)\b"
     fr = r"\b(le|la|les|et|est|un)\b"
@@ -1413,6 +1436,11 @@ def oracle_sql() -> dict[str, str]:
                         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) / 255.0
                         as float) as double), 6) as f0
             from m
+        """,
+        "multimodal_real_decode": f"""
+            select media_id, kind, 64 as dim,
+                   f0, f1, f2, f3, f4, f5, f6, f7, f8
+            from read_parquet('{MULTIMODAL_EXPECTED_DIR}/real_features.parquet')
         """,
         "curation_pipeline": rf"""
             with feat as (

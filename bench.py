@@ -45,7 +45,27 @@ BENCH_QUERIES = [
     "events_windowed_agg",
     "w1_chunker",
     "u1_encoder",
+    "ngram_jaccard_pairs",
 ]
+
+# Standalone pinned throughput from tools/bench_scaling.py (best-of-N at
+# local[16] — the VM's effective core count; see BENCH/BASELINE.md for
+# the methodology and the run that produced it).  Reported alongside the
+# live number so a hypervisor-steal spike in one bench run can't silently
+# move the headline between rounds.
+PINNED_TRIPLES_PER_SEC = 584_000
+
+
+def _cpu_steal() -> tuple[int, int]:
+    """(steal ticks, total ticks) from /proc/stat — the sandbox VM's
+    hypervisor steal is the dominant bench variance source (spikes to
+    ~25%), so every bench line reports the steal fraction it ran under."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError):
+        return 0, 0
 
 
 def _consume(df):
@@ -110,15 +130,21 @@ def main() -> int:
     corpus_path = _bench_corpus(spark, kg_scale)
     src = with_content_sha(spark.read.parquet(corpus_path))
     extract_triples(src).count()  # warm-up
-    # best-of-2: the sandbox hypervisor's CPU-steal spikes are the
+    # best-of-3: the sandbox hypervisor's CPU-steal spikes are the
     # dominant variance source (±30% run to run; BENCH/BASELINE.md
-    # documents the methodology)
-    kg_sec, n_triples = None, 0
-    for _ in range(2):
+    # documents the methodology).  All runs + the steal fraction over
+    # the measurement window are reported so an inflated headline is
+    # self-diagnosing.
+    st0, tt0 = _cpu_steal()
+    kg_runs: list[float] = []
+    n_triples = 0
+    for _ in range(3):
         t0 = time.time()
         n_triples = extract_triples(src).count()
-        dt = time.time() - t0
-        kg_sec = dt if kg_sec is None or dt < kg_sec else kg_sec
+        kg_runs.append(round(time.time() - t0, 3))
+    st1, tt1 = _cpu_steal()
+    kg_steal_pct = round(100.0 * (st1 - st0) / max(tt1 - tt0, 1), 1)
+    kg_sec = min(kg_runs)
     timings["kg_extract_triples"] = round(kg_sec, 3)
 
     total = round(sum(timings.values()), 3)
@@ -133,6 +159,9 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "triples": n_triples,
                 "triples_per_sec": round(n_triples / kg_sec, 1),
+                "triples_per_sec_pinned": PINNED_TRIPLES_PER_SEC,
+                "kg_runs_sec": kg_runs,
+                "kg_steal_pct": kg_steal_pct,
                 "kg_scale": kg_scale,
                 "cpus": cpus,
             }

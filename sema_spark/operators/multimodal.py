@@ -2,17 +2,27 @@
 metadata.
 
 The Spark-side contract is real and tested — schemas, Arrow batch shape,
-partition-stable UDF signatures, frame-sample fan-out — while the actual
-codec work is stubbed (no image/audio libs in this container): decoders
-either raise ``NotImplementedError`` (``strict=True``) or produce a
-deterministic fake derived from the content bytes, so the pipeline shape
-can be exercised end-to-end and a real decoder (PIL/ffmpeg) can be
-dropped into ``_decode_*`` without touching any Spark plumbing.
+partition-stable UDF signatures, frame-sample fan-out.  Codec status:
+
+* PPM (P6) images and PCM-16 WAV audio are decoded FOR REAL — pure-numpy
+  parsers (:func:`decode_ppm`, :func:`decode_wav`) feeding genuine
+  pixel/sample statistics into the feature vector.  Their round trip is
+  gated by an oracle that recomputes the statistics from the pixel/sample
+  GENERATING FORMULA without ever touching the codec
+  (``multimodal_real_decode`` in __spark_entry__).
+* Every other container (JPEG/MP3/MP4…) still needs PIL/ffmpeg, which
+  this container lacks: those mimes either raise ``NotImplementedError``
+  (``strict=True``) or produce a deterministic content-derived fake, so
+  downstream plumbing can be exercised and a real decoder drops into
+  ``_feature_for`` without touching any Spark code.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+
+import numpy as np
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,27 +71,145 @@ def _fake_feature(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
     return [b / 255.0 for b in raw]
 
 
+# --------------------------------------------------- real codecs (numpy)
+PPM_MIME = "image/x-portable-pixmap"
+WAV_MIME = "audio/x-wav"
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary P6 PPM."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P6 PPM → (h, w, 3) uint8.  Pure numpy; handles the header's
+    arbitrary whitespace and ``#`` comments per the netpbm spec."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    n = w * h * 3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """1-D int16 samples → RIFF/WAVE (PCM 16-bit mono)."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM-16 mono → (sample_rate, int16 samples).  Walks the
+    chunk list properly (a conformant writer may insert LIST/fact chunks
+    between fmt and data)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, rate, samples = 12, None, None
+    while i + 8 <= len(payload):
+        cid, size = payload[i : i + 4], struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise ValueError(f"only PCM-16 mono supported, got fmt={fmt} ch={ch} bits={bits}")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
+def image_feature(pixels: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
+    """Real pixel statistics: [w/4096, h/4096, mean RGB/255 ×3,
+    std RGB/255 ×3, 8-bin luminance histogram fractions], zero-padded.
+    Computed in float64, emitted float32 (the column type)."""
+    h, w = pixels.shape[:2]
+    px = pixels.astype(np.float64)
+    lum = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) / 3.0
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+    f = np.zeros(dim)
+    f[0], f[1] = w / 4096.0, h / 4096.0
+    f[2:5] = px.reshape(-1, 3).mean(axis=0) / 255.0
+    f[5:8] = px.reshape(-1, 3).std(axis=0) / 255.0
+    f[8:16] = hist / lum.size
+    return [float(x) for x in f.astype(np.float32)]
+
+
+def audio_feature(sample_rate: int, samples: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
+    """Real sample statistics: [rate/1e5, n/1e6, rms/32768, peak/32768,
+    zero-crossing rate, 16-bin amplitude histogram fractions],
+    zero-padded.  Computed in float64, emitted float32."""
+    x = samples.astype(np.float64)
+    f = np.zeros(dim)
+    f[0], f[1] = sample_rate / 1e5, x.size / 1e6
+    if x.size:
+        f[2] = np.sqrt((x * x).mean()) / 32768.0
+        f[3] = np.abs(x).max() / 32768.0
+        f[4] = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1]))) / x.size
+        hist, _ = np.histogram(x, bins=16, range=(-32768.0, 32768.0))
+        f[5:21] = hist / x.size
+    return [float(v) for v in f.astype(np.float32)]
+
+
+def _feature_for(mime: str, payload: bytes | None, strict: bool) -> list[float]:
+    """Dispatch: real codecs for PPM/WAV; fake (or strict raise) elsewhere."""
+    if payload is not None and mime == PPM_MIME:
+        return image_feature(decode_ppm(bytes(payload)))
+    if payload is not None and mime == WAV_MIME:
+        rate, samples = decode_wav(bytes(payload))
+        return audio_feature(rate, samples)
+    if strict:
+        raise NotImplementedError(f"no decoder for {mime!r}: requires PIL/ffmpeg; wire it in here")
+    return _fake_feature(bytes(payload) if payload is not None else None)
+
+
 def decode_features(df: DataFrame, strict: bool = False) -> DataFrame:
     """media rows → (media_id, kind, feature array<float>).
 
-    ``strict=True`` raises NotImplementedError where a real decoder
-    belongs; ``strict=False`` emits the deterministic fake so the
-    downstream plumbing (similarity, dedup) can run.
+    PPM images and PCM-16 WAV audio are decoded for real (pixel/sample
+    statistics — see :func:`image_feature` / :func:`audio_feature`).
+    For other containers, ``strict=True`` raises NotImplementedError
+    where the PIL/ffmpeg decoder belongs; ``strict=False`` emits the
+    deterministic fake so the downstream plumbing (similarity, dedup)
+    can run.
     """
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real image/audio decode requires PIL/ffmpeg; wire it in here"
-                )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "feature": pdf["bytes"].map(lambda b: _fake_feature(bytes(b) if b is not None else None)),
+                    "feature": [
+                        _feature_for(m, b, strict)
+                        for m, b in zip(pdf["mime"], pdf["bytes"])
+                    ],
                 }
             )
 
@@ -92,7 +220,7 @@ def decode_features(df: DataFrame, strict: bool = False) -> DataFrame:
             StructField("feature", ArrayType(FloatType(), False), False),
         ]
     )
-    return df.select("media_id", "kind", "bytes").mapInPandas(run, schema=schema)
+    return df.select("media_id", "kind", "mime", "bytes").mapInPandas(run, schema=schema)
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000, strict: bool = False) -> DataFrame:
@@ -129,6 +257,90 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, strict: bool = False) -> 
     return df.filter(F.col("kind") == "video").select("media_id", "bytes", "meta").mapInPandas(
         run, schema=schema
     )
+
+
+def _pattern_image(i: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 pixel pattern for media id ``i`` —
+    the DATA DEFINITION shared by the fixture encoder and the oracle
+    (which computes statistics straight off this array, never through
+    the PPM codec, so fixture-vs-decode equality gates the round trip)."""
+    w, h = 32 + 8 * (i % 4), 24 + 8 * (i % 3)
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (x * 7 + y * 13 + i * 29) % 256,
+            (x * 3 + y * 11 + i * 17) % 256,
+            (x * 5 + y * 2 + i * 23) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def _pattern_audio(i: int) -> tuple[int, np.ndarray]:
+    """Deterministic (rate, int16 samples) for media id ``i``."""
+    rate = 8000 + 4000 * (i % 3)
+    n = 2048 + 512 * (i % 5)
+    t = np.arange(n, dtype=np.int64)
+    return rate, (((t * (i + 3) * 2654435761) % 65536) - 32768).astype(np.int16)
+
+
+def synthetic_real_media(spark, n: int = 16) -> DataFrame:
+    """Media table whose payloads are REAL containers (P6 PPM / PCM-16
+    WAV) built from the deterministic patterns above."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            px = _pattern_image(i)
+            h, w = px.shape[:2]
+            rows.append(
+                (i, "image", PPM_MIME, bytearray(encode_ppm(px)),
+                 {"width": w, "height": h, "duration_ms": None, "sample_rate": None})
+            )
+        else:
+            rate, samples = _pattern_audio(i)
+            rows.append(
+                (i, "audio", WAV_MIME, bytearray(encode_wav_pcm16(samples, rate)),
+                 {"width": None, "height": None,
+                  "duration_ms": int(samples.size * 1000 / rate), "sample_rate": rate})
+            )
+    return spark.createDataFrame(rows, MEDIA)
+
+
+def write_expected_real_features(out_dir: str, n: int = 16) -> None:
+    """Oracle data for ``multimodal_real_decode``: feature statistics
+    computed directly from the generating patterns — the encode→decode
+    round trip never runs here, so Spark-vs-oracle equality proves the
+    PPM/WAV codecs reproduce the source pixels/samples exactly."""
+    import os
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def r6(x: float) -> float:
+        # Spark's round(col, 6) = BigDecimal.valueOf(double) (shortest
+        # repr) setScale(6, HALF_UP); Python's round() is half-even and
+        # diverges on exact halves (w=32 → 32/4096 = 0.0078125 → Spark
+        # 0.007813 vs Python 0.007812) — replicate Spark exactly.
+        return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    cols = {"media_id": [], "kind": [], "dim": []}
+    for j in range(9):
+        cols[f"f{j}"] = []
+    for i in range(n):
+        if i % 2 == 0:
+            kind, feat = "image", image_feature(_pattern_image(i))
+        else:
+            kind, feat = "audio", audio_feature(*_pattern_audio(i))
+        cols["media_id"].append(i)
+        cols["kind"].append(kind)
+        cols["dim"].append(FEATURE_DIM)
+        for j in range(9):
+            cols[f"f{j}"].append(r6(feat[j]))
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{out_dir}/.tmp-{os.getpid()}-real_features.parquet"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, f"{out_dir}/real_features.parquet")
 
 
 def synthetic_media(spark, n: int = 24) -> DataFrame:

@@ -1,10 +1,20 @@
+import numpy as np
 import pytest
 
 from sema_spark.operators.multimodal import (
     FEATURE_DIM,
+    _pattern_audio,
+    _pattern_image,
+    audio_feature,
     decode_features,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav_pcm16,
+    image_feature,
     sample_frames,
     synthetic_media,
+    synthetic_real_media,
 )
 
 
@@ -24,6 +34,71 @@ def test_decode_strict_raises(spark):
     media = synthetic_media(spark, 3)
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         decode_features(media, strict=True).collect()
+
+
+def test_ppm_round_trip():
+    px = _pattern_image(5)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    # header with comments and arbitrary whitespace (netpbm spec)
+    w, h = px.shape[1], px.shape[0]
+    hdr = b"P6 # comment\n# another\n %d\t%d # dims\n255\n" % (w, h)
+    assert np.array_equal(decode_ppm(hdr + px.tobytes()), px)
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+
+
+def test_wav_round_trip_and_chunk_walk():
+    rate, samples = _pattern_audio(7)
+    payload = encode_wav_pcm16(samples, rate)
+    r2, s2 = decode_wav(payload)
+    assert r2 == rate and np.array_equal(s2, samples)
+    # a conformant writer may insert chunks between fmt and data —
+    # splice an odd-sized LIST chunk (exercises word-alignment padding)
+    import struct
+
+    fmt_chunk = payload[12:36]
+    data_chunk = payload[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    body = fmt_chunk + extra + data_chunk
+    spliced = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    r3, s3 = decode_wav(spliced)
+    assert r3 == rate and np.array_equal(s3, samples)
+    with pytest.raises(ValueError, match="PCM-16 mono"):
+        decode_wav(encode_wav_pcm16(samples, rate).replace(b"\x01\x00\x01\x00", b"\x01\x00\x02\x00", 1))
+
+
+def test_image_feature_known_values():
+    # constant-color image: std 0, mean exact, all luminance in one bin
+    px = np.full((4, 8, 3), 128, dtype=np.uint8)
+    f = image_feature(px)
+    assert f[0] == np.float32(8 / 4096.0) and f[1] == np.float32(4 / 4096.0)
+    assert all(v == np.float32(128 / 255.0) for v in f[2:5])
+    assert all(v == 0.0 for v in f[5:8])
+    assert f[8:16] == [0, 0, 0, 0, 1.0, 0, 0, 0]  # 128 → bin 4 of 8
+
+
+def test_audio_feature_known_values():
+    # alternating ±16384: rms == peak == 0.5, zcr == (n-1)/n
+    samples = np.tile(np.array([16384, -16384], dtype=np.int16), 512)
+    f = audio_feature(16000, samples)
+    assert f[0] == np.float32(0.16) and f[1] == np.float32(1024 / 1e6)
+    assert f[2] == 0.5 and f[3] == 0.5
+    assert f[4] == np.float32(1023 / 1024)
+    hist = f[5:21]
+    # ±16384 → bins (x+32768)//4096 = 4 and 12, symmetric about bin 8
+    assert hist[12] == 0.5 and hist[4] == 0.5
+
+
+def test_real_decode_matches_pattern_stats(spark):
+    """Spark decode of real PPM/WAV payloads == stats straight from the
+    generating patterns (codec never runs on the oracle side)."""
+    out = {r.media_id: r for r in decode_features(synthetic_real_media(spark, 8), strict=True).collect()}
+    for i in range(8):
+        expect = (
+            image_feature(_pattern_image(i)) if i % 2 == 0 else audio_feature(*_pattern_audio(i))
+        )
+        assert out[i].kind == ("image" if i % 2 == 0 else "audio")
+        assert out[i].feature == expect, f"media {i}"
 
 
 def test_sample_frames_fanout(spark):
