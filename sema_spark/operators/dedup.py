@@ -386,8 +386,29 @@ def simhash_dup_edges(
     )
 
 
-def simhash_dedup(df: DataFrame, id_col: str = "id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    pairs = simhash_dup_edges(df, id_col, text_col, max_hamming)
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    exact_pairs: bool = False,
+) -> DataFrame:
+    """df minus simhash near-duplicates (min numeric id kept per
+    component).
+
+    Default: CC over verified star edges — O(Σ bucket), with the same
+    RECALL CAVEAT as :func:`minhash_dup_edges`: a member-member pair
+    with Hamming ≤ max_hamming whose bucket hubs all fail verification
+    is silently missed (each of the 4 bands contributes an independent
+    hub, so misses decay with band count but are not zero).
+
+    ``exact_pairs=True``: CC over the full within-bucket pair set
+    (:func:`simhash_pairs`, O(Σ bucket²)) — every same-band pair with
+    Hamming ≤ max_hamming is linked, the pre-round-2 semantics."""
+    if exact_pairs:
+        pairs = simhash_pairs(df, id_col, text_col, max_hamming)
+    else:
+        pairs = simhash_dup_edges(df, id_col, text_col, max_hamming)
     return _drop_cc_losers(df, pairs, id_col)
 
 

@@ -15,10 +15,18 @@ commonly-used subset over the posting-list plan:
   like 're[sort key]ed' and no false negatives for punctuation-separated
   adjacent tokens), and the phrase's words join the scored term set.
 
-Plan shape: ONE pass builds postings + doc lengths; corpus stats
-(n_docs, avgdl) ride a broadcast 1-row crossJoin (no driver actions);
-constraint terms are broadcast semi/anti joins.  Everything stays in
-whole-stage codegen except nothing — there are no UDFs here at all.
+Plan shape (round 3, genuinely single-pass): the query's terms are a
+small fixed set, so per-doc term frequencies are computed straight off
+the token array (``size(filter(_toks, = t))`` per term) in ONE
+projection — no explode, no (doc, term) posting shuffle, no semi-joins.
+Corpus stats (n_docs, avgdl, per-term df) are one aggregate over those
+slim per-doc rows, riding back on a broadcast 1-row crossJoin; scoring
+is a literal fold over the terms in lexicographic order (deterministic
+fp addition).  The only exchange in the whole plan is the final
+TakeOrdered.  Catalyst recomputes the per-doc projection once for the
+stats branch and once for scoring (no common-subtree sharing) — two
+scans of the corpus, narrow both times; at cluster scale, materialize
+the per-doc frame to make it literally one.  No UDFs anywhere.
 """
 
 from __future__ import annotations
@@ -95,6 +103,11 @@ def _has_phrase(toks, words: list[str]):
     return tokstr.contains(" " + " ".join(words) + " ")
 
 
+def _tf_count(toks, term: str):
+    """Occurrences of ``term`` in the token array (codegen size+filter)."""
+    return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+
 def bm25_search(
     docs: DataFrame,
     query: str | ParsedQuery,
@@ -102,62 +115,64 @@ def bm25_search(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Top-k (id, score) for a parsed query over a document table."""
+    """Top-k (id, score) for a parsed query over a document table.
+
+    Value-parity notes (the DuckDB oracle compares unrounded-fold
+    results at round-4): terms fold in LEXICOGRAPHIC order — fp
+    addition is commutative but not associative, so the fold order must
+    be pinned — and a term absent from a doc contributes an exact 0.0
+    (tf=0 numerator), which is an fp identity, so folding over all
+    query terms equals folding over the present ones."""
     pq = parse_query(query) if isinstance(query, str) else query
-    qterms = list(pq.scored_terms)
+    qterms = sorted(pq.scored_terms)
     if not qterms:
         raise ValueError(f"query has no scorable terms: {query!r}")
 
-    ids = docs.select(F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_toks"))
+    toks = _tokens(text_col)
+    keep = F.lit(True)
     for ph in pq.phrases:  # required phrases: token-adjacency verify
-        ids = ids.filter(_has_phrase(F.col("_toks"), ph.split(" ")))
+        keep = keep & _has_phrase(toks, ph.split(" "))
     for t in pq.must_not:
-        ids = ids.filter(~F.array_contains("_toks", t))
+        keep = keep & ~F.array_contains(toks, F.lit(t))
     for t in pq.must:
-        ids = ids.filter(F.array_contains("_toks", t))
+        keep = keep & F.array_contains(toks, F.lit(t))
 
-    posting = (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(_tokens(text_col)).alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    # ONE projection: doc length + tf per query term, straight off the
+    # token array (query term sets are small; no explode, no posting
+    # shuffle, no per-(doc,term) rows ever exist)
+    tf = lambda i: F.col(f"_tf_{i}")
+    per_doc = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        keep.alias("_keep"),
+        # factory, not a default-arg lambda: a 2-param HOF lambda would
+        # receive (element, index) and silently compare against the index
+        *[_tf_count(toks, t).alias(f"_tf_{i}") for i, t in enumerate(qterms)],
     )
-    dl = docs.select(F.col(id_col).alias("doc_id"), F.size(_tokens(text_col)).alias("dl"))
-    # avgdl from an EXACT integer sum (avg() over doubles drifts with
-    # partial-aggregation order and poisons every downstream score)
-    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("_sdl")).select(
-        "n_docs", (F.col("_sdl").cast("double") / F.col("n_docs")).alias("avgdl")
-    )
-    df_ = posting.filter(F.col("term").isin(qterms)).groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    scored = (
-        posting.filter(F.col("term").isin(qterms))
-        .join(ids.select("doc_id"), "doc_id", "left_semi")
-        .join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("idf", F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0))
-        .withColumn(
-            "s",
-            F.col("idf") * (F.col("tf") * (K1 + 1.0))
-            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+    # corpus-wide stats in one aggregate: n_docs, exact-integer dl sum
+    # (avg() over doubles drifts with partial-agg order), and per-term
+    # document frequencies — broadcast back as a 1-row crossJoin
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("_sdl"),
+        *[F.sum((tf(i) > 0).cast("long")).alias(f"_df_{i}") for i in range(len(qterms))],
+    ).withColumn("avgdl", F.col("_sdl").cast("double") / F.col("n_docs"))
+
+    score = F.lit(0.0)
+    any_present = F.lit(False)
+    for i in range(len(qterms)):
+        df_i = F.col(f"_df_{i}")
+        idf = F.log((F.col("n_docs") - df_i + 0.5) / (df_i + 0.5) + 1.0)
+        score = score + idf * (tf(i) * (K1 + 1.0)) / (
+            tf(i) + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
         )
-    )
-    # deterministic fold in term order: fp addition is commutative but
-    # NOT associative, so an unordered sum() of 3+ terms differs in the
-    # last bits between engines/runs and can flip a rounding boundary
+        any_present = any_present | (tf(i) > 0)
+
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.round(
-                F.aggregate(
-                    F.sort_array(F.collect_list(F.struct("term", "s"))),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["s"],
-                ),
-                4,
-            ).alias("score")
-        )
+        per_doc.filter("_keep")
+        .crossJoin(F.broadcast(stats))
+        .filter(any_present)  # docs with no query term score nothing
+        .select("doc_id", F.round(score, 4).alias("score"))
         .orderBy(F.desc("score"), "doc_id")
         .limit(k)
     )

@@ -418,7 +418,16 @@ def compact(spark: SparkSession, base: str, stage: str) -> str:
     data landed before compact's GC listing but whose checkpoint row
     landed after step (2) would have its data collected while its
     checkpoint row survives (the optimistic-commit protection a real
-    catalog provides is exactly what plain directories lack)."""
+    catalog provides is exactly what plain directories lack).
+
+    READERS need exclusion too: a reader that resolved the checkpoint
+    before step (2) and is still scanning the prior snapshot's parquet
+    when step (3) deletes it fails mid-scan (FileNotFound).  Step (3) is
+    immediate GC with no grace period — Iceberg separates these as
+    rewrite (safe under readers) vs expire_snapshots (run after in-flight
+    reads drain); here both happen in one call, so schedule compact()
+    in a maintenance window with no concurrent reads, or read through
+    ``materialize``/collected results rather than live scans."""
     rid = new_run_id()
     last = _latest_commit(spark, base, stage)
     if not any(

@@ -113,3 +113,22 @@ def test_dedup_negative_ids_keep_numeric_min(spark):
 def test_minhash_dedup_exact_pairs_mode(spark, docs):
     kept = {r.id for r in minhash_dedup(docs, threshold=0.5, exact_pairs=True).select("id").collect()}
     assert kept == {0, 4, 5}
+
+
+def test_simhash_dedup_exact_pairs_mode(spark):
+    """exact_pairs=True links every same-band pair with Hamming ≤ max
+    (full within-bucket semantics), mirroring minhash_dedup's option."""
+    rows = [
+        (0, BASE),
+        (1, BASE),
+        (2, BASE + " extra tail words appended here"),
+        (3, "totally unrelated content entirely different words"),
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    kept_star = {r.id for r in simhash_dedup(docs, max_hamming=3).select("id").collect()}
+    kept_exact = {r.id for r in simhash_dedup(docs, max_hamming=3, exact_pairs=True).select("id").collect()}
+    # on this corpus both modes agree (hub links verify); exact mode may
+    # only ever link MORE pairs, never fewer.  Doc 2's appended tail
+    # flips > 3 bits, so only the exact dup (1) collapses into 0.
+    assert kept_exact <= kept_star
+    assert kept_exact == {0, 2, 3}
