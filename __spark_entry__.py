@@ -782,7 +782,15 @@ def q_curation_pipeline(spark, sf):
 def q_semantic_search(spark, sf):
     """Reference entry point B end-to-end: chunk → encode → query-cosine
     → top-k → per-file dedup window (keeps the real score, unlike the
-    reference's hardcoded 1.0 at src/storage/mod.rs:123)."""
+    reference's hardcoded 1.0 at src/storage/mod.rs:123).
+
+    Oracle (round 3): the ENTIRE pipeline replicated in DuckDB SQL —
+    recursive-CTE chunker + full hashing-encoder + cosine — validated
+    against a pure-Python reimplementation in tests/test_oracle_sql.py.
+    Scores compare at round-4: the engines' float64 summation orders
+    differ at ~1e-9 relative (numpy pairwise inside the norm vs
+    sequential SQL sums), which is 50x inside the round-4 half-width
+    but would flip round-6 digits."""
     from sema_spark.operators.chunker import chunk_and_embed
     from sema_spark.plans.pipeline import semantic_search
 
@@ -793,7 +801,7 @@ def q_semantic_search(spark, sf):
     )
     chunks = chunk_and_embed(docs)
     out = semantic_search(spark, chunks, "spark shuffle join window batch", k=25)
-    return out.select("path", "start_line", F.round("score", 6).alias("score"), "matches_in_file")
+    return out.select("path", "start_line", F.round("score", 4).alias("score"), "matches_in_file")
 
 
 def q_multimodal_features(spark, sf):
@@ -1436,6 +1444,109 @@ def oracle_sql() -> dict[str, str]:
                         + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) / 255.0
                         as float) as double), 6) as f0
             from m
+        """,
+        "semantic_search": r"""
+            -- full replication of entry point B: recursive-CTE chunker
+            -- (same walk as the w1_chunker oracle) + the hashing
+            -- encoder (same pipeline as the u1_encoder oracle, f32
+            -- components) + cosine against the encoded query literal,
+            -- top-25, per-(repo,path) first-chunk window.  The query
+            -- string rides the chunk CTE as sentinel cidx=-1.
+            -- Validated vs a pure-Python pipeline in
+            -- tests/test_oracle_sql.py.
+            with recursive doc as (
+              select source as repo, cast(doc_id as varchar) as path,
+                     text as content, length(text) as n
+              from documents
+              where text is not null and length(text) >= 50
+            ),
+            walk(repo, path, content, n, start, idx, safe_end, kept) as (
+              select repo, path, content, n, 0, 0, s0.safe_end, 1
+              from doc, lateral (
+                select case when e < n and strpos(reverse(substr(content, 1, e)), chr(10)) > 0
+                            then e - strpos(reverse(substr(content, 1, e)), chr(10)) + 1
+                            else e end as safe_end
+                from (select least(1000, n) as e)) s0
+              union all
+              select repo, path, content, n, new_start, idx + kept, s1.safe_end2,
+                     case when s1.safe_end2 - new_start >= 50 then 1 else 0 end
+              from (
+                select repo, path, content, n, idx, kept,
+                       case when greatest(safe_end - 100, 0) <= start
+                            then safe_end else greatest(safe_end - 100, 0) end as new_start
+                from walk) w, lateral (
+                select case when e2 < n and strpos(reverse(substr(content, new_start + 1, e2 - new_start)), chr(10)) > 0
+                            then new_start + e2 - new_start
+                                 - strpos(reverse(substr(content, new_start + 1, e2 - new_start)), chr(10)) + 1
+                            else e2 end as safe_end2
+                from (select least(new_start + 1000, n) as e2)) s1
+              where new_start < n
+            ),
+            chunk as (
+              select repo, path, idx as cidx,
+                     1 + start - length(replace(substr(content, 1, start), chr(10), '')) as start_line,
+                     substr(content, start + 1, safe_end - start) as t
+              from walk where kept = 1
+              union all
+              select '', '', -1, 0, 'spark shuffle join window batch'
+            ),
+            codes as (
+              select repo, path, cidx, start_line, least(length(t) - 2, 256) as ncodes,
+                     unnest([ (ascii(substr(t, i, 1)) * 65536
+                             + ascii(substr(t, i + 1, 1)) * 256
+                             + ascii(substr(t, i + 2, 1))) * 2654435761 % 4294967296
+                             for i in range(1, least(length(t) - 2, 256) + 1) ]) as h
+              from chunk where length(t) >= 3
+            ),
+            comps as (
+              select repo, path, cidx, any_value(start_line) as start_line,
+                     any_value(ncodes) as ncodes, h % 384 as idx,
+                     sum(case when (h // 65536) % 2 = 1 then 1 else -1 end) as s
+              from codes group by repo, path, cidx, h % 384
+            ),
+            nrm as (
+              select repo, path, cidx,
+                     sqrt(sum(pow(cast(s as double) / ncodes, 2))) as nv
+              from comps group by repo, path, cidx
+            ),
+            f32 as (
+              select c.repo, c.path, c.cidx, c.start_line,
+                     c.idx, cast((cast(c.s as double) / c.ncodes) / n.nv as float) as v
+              from comps c join nrm n using (repo, path, cidx)
+              where c.s <> 0
+            ),
+            qv as (select idx, v from f32 where cidx = -1),
+            qn as (select sqrt(sum(pow(cast(v as double), 2))) as nq from qv),
+            cn as (select repo, path, cidx, any_value(start_line) as start_line,
+                          sqrt(sum(pow(cast(v as double), 2))) as nc
+                   from f32 where cidx >= 0 group by repo, path, cidx),
+            dotp as (
+              select c.repo, c.path, c.cidx,
+                     sum(cast(c.v as double) * cast(q.v as double)) as dp
+              from f32 c join qv q using (idx)
+              where c.cidx >= 0 group by c.repo, c.path, c.cidx
+            ),
+            -- LEFT join: a chunk sharing no hash index with the query
+            -- scores an exact 0.0 in Spark (dot of disjoint supports),
+            -- so it must stay rankable here too.  (Zero-NORM chunks are
+            -- null-scored in Spark and absent here — equivalent while
+            -- top-k is filled by non-null scores, which the ≥48-char
+            -- wordy documents guarantee.)
+            scored as (
+              select cn.repo, cn.path, cn.cidx, cn.start_line,
+                     coalesce(d.dp, 0.0) / (cn.nc * qn.nq) as score
+              from cn cross join qn
+              left join dotp d
+                on d.repo = cn.repo and d.path = cn.path and d.cidx = cn.cidx
+            ),
+            topk as (select * from scored order by score desc limit 25),
+            ranked as (
+              select path, start_line, score,
+                     row_number() over (partition by repo, path order by start_line, cidx) as rn,
+                     count(*) over (partition by repo, path) as matches_in_file
+              from topk)
+            select path, start_line, round(score, 4) as score, matches_in_file
+            from ranked where rn = 1
         """,
         "multimodal_real_decode": f"""
             select media_id, kind, 64 as dim,

@@ -48,12 +48,13 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
 ]
 
-# Standalone pinned throughput from tools/bench_scaling.py (best-of-N at
-# local[16] — the VM's effective core count; see BENCH/BASELINE.md for
-# the methodology and the run that produced it).  Reported alongside the
-# live number so a hypervisor-steal spike in one bench run can't silently
-# move the headline between rounds.
-PINNED_TRIPLES_PER_SEC = 584_000
+# Standalone pinned throughput from tools/bench_scaling.py (best-of-4,
+# least-steal run at local[16] — the VM's effective core count; see
+# BENCH/BASELINE.md for the methodology and the run that produced it).
+# Reported alongside the live number so a hypervisor-steal spike in one
+# bench run can't silently move the headline between rounds.
+# Round-3 clean measurement: 754,212 triples/sec (steal 3 jiffies).
+PINNED_TRIPLES_PER_SEC = 754_000
 
 
 def _cpu_steal() -> tuple[int, int]:

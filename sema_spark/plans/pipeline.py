@@ -190,8 +190,12 @@ def semantic_search(
     )
     topk = scored.orderBy(F.desc_nulls_last("score")).limit(k)
     # per-FILE windows: (repo, path) — path alone would merge same-named
-    # files across repos (README.md, src/main.py) into one "file"
-    w_rank = Window.partitionBy("repo", "path").orderBy("start_line")
+    # files across repos (README.md, src/main.py) into one "file".
+    # chunk_idx breaks start_line ties deterministically: a file shorter
+    # than CHUNK+OVERLAP yields two chunks that BOTH start on line 1
+    # (main window + overlap tail), and row_number over a tied sort
+    # would keep an arbitrary one (different score per run).
+    w_rank = Window.partitionBy("repo", "path").orderBy("start_line", "chunk_idx")
     w_count = Window.partitionBy("repo", "path")
     return (
         topk.withColumn("rn", F.row_number().over(w_rank))

@@ -76,6 +76,45 @@ def test_encoder_oracle_matches_numpy(con, oracles):
         assert got[i] == exp, f"doc {i}: {got[i]} != {exp}"
 
 
+def test_semantic_search_oracle_matches_python(oracles):
+    """The production semantic_search oracle string (chunker + encoder +
+    cosine + top-k + per-file window, all in SQL) against a pure-Python
+    pipeline on multi-chunk adversarial docs.  Fixture stays under the
+    baked-in k=25 so identical-content chunks (tied scores) can't
+    straddle the top-k boundary."""
+    import math
+
+    import numpy as np
+
+    from sema_spark.functions.encoder import encode_numpy
+
+    docs = {2: ADVERSARIAL[2], 4: ADVERSARIAL[4], 5: ADVERSARIAL[5], 8: ADVERSARIAL[8]}
+    c = duckdb.connect()
+    c.execute("create table documents(source varchar, doc_id bigint, text varchar)")
+    for i, t in docs.items():
+        c.execute("insert into documents values ('srcA', ?, ?)", [i, t])
+    got = sorted(tuple(r) for r in c.execute(oracles["semantic_search"]).fetchall())
+
+    qv = encode_numpy("spark shuffle join window batch").astype(np.float64)
+    qn = math.sqrt(float((qv * qv).sum()))
+    rows = []
+    for i, t in docs.items():
+        for cidx, sl, _el, ctext in chunk_python(t):
+            v = encode_numpy(ctext).astype(np.float64)
+            nv = math.sqrt(float((v * v).sum()))
+            if nv > 0:
+                rows.append((str(i), cidx, sl, float((v * qv).sum()) / (nv * qn)))
+    assert len(rows) <= 25
+    by_file: dict[str, list] = {}
+    for p, cidx, sl, sc in rows:
+        by_file.setdefault(p, []).append((sl, cidx, sc))
+    exp = sorted(
+        (p, lst[0][0], round(lst[0][2], 4), len(lst))
+        for p, lst in ((k, sorted(v)) for k, v in by_file.items())
+    )
+    assert got == exp
+
+
 def test_expected_pagerank_properties():
     """The kg_pagerank oracle's numpy iteration: ranks sum to 1 and the
     node set equals the expected-edge node set."""
