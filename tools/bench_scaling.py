@@ -168,6 +168,14 @@ here.
 * triples/sec at local[{high}]: **{hi['triples_per_sec']:,}**
 * reference baseline: none published (BASELINE.md — the reference ships
   no benchmarks); targets come from BASELINE.json.
+* bench.py's live `triples_per_sec` is measured on the smaller `bench`
+  corpus at local[32] with default session confs, so it runs below this
+  pinned number for three structural reasons: local[32] oversubscribes
+  the VM's ~16 effective cores, the smaller corpus amortizes fixed
+  per-job overhead over 3.4x fewer triples, and this pin's job tunes
+  maxPartitionBytes to 3 splits/core.  Compare bench rounds against
+  each other and against `triples_per_sec_pinned`, reading
+  `kg_steal_pct`/`kg_runs_sec` for contention context.
 
 ## Why the job scales
 
@@ -181,6 +189,16 @@ partition counts are explicit — AQE's 64MB coalescing target would
 serialize CPU-bound stages (measured: 78MB coalesced to ~2 tasks).
 
 Reproduce: `python tools/bench_scaling.py {low} {high} {scale}`
+
+## Materialize-mode cost (4-stage pipeline e2e, benchxl corpus)
+
+Measured 2026-08-16 (round 3), warm JVM, local[32], alternating runs:
+`local` (localCheckpoint, sandbox default) ~100s; `persist`
+(MEMORY_AND_DISK, recomputable — the cluster default) ~124s (+24%).
+The delta is the price of recomputable lineage over truncated plans;
+`reliable` (durable checkpoint()) sits above `persist` and is for
+multi-hour jobs.  Reproduce: run run_pipeline over
+/tmp/sema_bench_corpus_benchxl under SPARK_GRAFT_MATERIALIZE.
 """
         )
     print("wrote BENCH/BASELINE.md")
