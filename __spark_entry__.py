@@ -642,6 +642,22 @@ def q_dedup_minhash(spark, sf):
     return minhash_dedup(_docs(spark, sf), id_col="doc_id", text_col="text", threshold=0.7).select("doc_id")
 
 
+def q_dedup_minhash_sha(spark, sf):
+    """MinHash-LSH near-dedup with the sha256-derived base hash — the
+    DuckDB-replicable variant (base="sha", exact_pairs=True): the oracle
+    recomputes the ENTIRE pipeline in SQL — word shingles → 64-perm
+    signatures → 8x8 banding → bucket pairs (capped) → signature-Jaccard
+    ≥ 0.7 → connected components → numeric-min survivor.  The xxhash64
+    default (q_dedup_minhash) stays the perf path; both share every line
+    except the base hash."""
+    from sema_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _docs(spark, sf), id_col="doc_id", text_col="text",
+        threshold=0.7, exact_pairs=True, base="sha",
+    ).select("doc_id")
+
+
 def q_dedup_simhash(spark, sf):
     """SimHash near-dedup survivors over documents."""
     from sema_spark.operators.dedup import simhash_dedup
@@ -892,6 +908,7 @@ def _build_registry():
         "w1_chunker": q_w1_chunker,
         "u1_encoder": q_u1_encoder,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_sha": q_dedup_minhash_sha,
         "dedup_simhash": q_dedup_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -920,6 +937,18 @@ def oracle_sql() -> dict[str, str]:
 
     write_expected_tables(KG_EXPECTED_DIR, "xs")
     write_expected_real_features(MULTIMODAL_EXPECTED_DIR, 16)
+
+    # dedup_minhash_sha oracle: the permutation coefficients and banding
+    # are generated from the same deterministic source the operator uses
+    # (functions/minhash._coefficients, choose_bands) — the SQL then
+    # recomputes signatures/buckets/CC entirely inside DuckDB.
+    from sema_spark.functions.minhash import NUM_PERM, _coefficients, choose_bands
+
+    _a, _b = _coefficients(NUM_PERM)
+    mh_coeffs = ", ".join(f"{{'a': {a}, 'b': {b}}}" for a, b in zip(_a, _b))
+    mh_bands = choose_bands(0.7)
+    mh_rows = NUM_PERM // mh_bands
+
     en = r"\b(the|and|of|to|is|a)\b"
     de = r"\b(der|die|das|und|ist|ein)\b"
     fr = r"\b(le|la|les|et|est|un)\b"
@@ -1247,6 +1276,59 @@ def oracle_sql() -> dict[str, str]:
             select user_id, session_idx, count(*) as n_events,
                    cast(sum(cast(value as decimal(18,2))) as double) as session_value
             from s group by user_id, session_idx
+        """,
+        "dedup_minhash_sha": f"""
+            -- full replication of minhash_dedup(base='sha',
+            -- exact_pairs=True): sha256-derived token base hashes
+            -- (< 2^31), 64 permutations (a*h+b) mod (2^61-1) mod 2^31
+            -- (a,h < 2^31 so a*h+b < 2^62 — no bigint overflow in
+            -- either engine), min per permutation, {mh_bands}x{mh_rows}
+            -- banding bucketed on the slice values (Spark buckets on
+            -- xxhash64 of the same slice — identical partition absent
+            -- collisions), per-bucket cap 1000 by id, signature
+            -- agreement >= 0.7, connected components, numeric-min
+            -- survivor.
+            with recursive toklist as (
+              select doc_id, list_distinct(list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) as toks
+              from documents),
+            hs as (
+              select doc_id,
+                     [ list_sum([ cast(strpos('0123456789abcdef', substr(sha256(tok), i, 1)) - 1 as bigint)
+                                  * (cast(1 as bigint) << (4 * (8 - i)))
+                                  for i in range(1, 9) ]) % 2147483648
+                       for tok in toks ] as hv
+              from toklist),
+            sig as (
+              select doc_id,
+                     case when len(hv) = 0
+                          then [cast(2305843009213693951 as bigint) for _ in range(1, 65)]
+                          else [ list_min([ (p.a * h + p.b) % 2305843009213693951 % 2147483648
+                                            for h in hv ])
+                                 for p in [{mh_coeffs}] ] end as sg
+              from hs),
+            bands as (
+              select doc_id, j.j as j,
+                     array_to_string(sg[j.j*{mh_rows}+1 : (j.j+1)*{mh_rows}], '_') as key
+              from sig cross join (select unnest(range(0, {mh_bands})) as j) j),
+            capped as (
+              select doc_id, j, key from bands
+              qualify row_number() over (partition by j, key order by doc_id) <= 1000),
+            cand as (
+              select distinct l.doc_id as a, r.doc_id as b
+              from capped l join capped r on l.j = r.j and l.key = r.key and l.doc_id < r.doc_id),
+            est as (
+              select c.a, c.b,
+                     len(list_filter([sa.sg[i] = sb.sg[i] for i in range(1, 65)], x -> x)) / 64.0 as ej
+              from cand c join sig sa on c.a = sa.doc_id join sig sb on c.b = sb.doc_id),
+            edges as (select a, b from est where ej >= 0.7),
+            sym as (select a, b from edges union select b, a from edges),
+            reach(id, anc) as (
+              select a, a from sym
+              union
+              select s.b, r.anc from reach r join sym s on s.a = r.id),
+            losers as (select id from reach group by id having min(anc) <> id)
+            select doc_id from documents where doc_id not in (select id from losers)
         """,
         "dedup_simhash": r"""
             -- full replication of operators/dedup.simhash_dedup: 60-bit

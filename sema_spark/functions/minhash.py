@@ -76,10 +76,20 @@ def char_shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(tokens: Column, num_perm: int = NUM_PERM) -> Column:
+def _base_hash(t: Column, base: str) -> Column:
+    """Per-token base hash < 2^31.  ``xxhash64`` is the fast JVM default;
+    ``sha`` derives the hash from the first 8 hex chars of sha256 so a
+    DuckDB oracle can compute the IDENTICAL value (xxhash64 does not
+    exist there) — the same trick simhash uses for its oracle."""
+    if base == "sha":
+        return F.pmod(F.conv(F.substring(F.sha2(t, 256), 1, 8), 16, 10).cast("long"), F.lit(_H_SPACE))
+    return F.pmod(F.xxhash64(t), F.lit(_H_SPACE))
+
+
+def minhash_signature(tokens: Column, num_perm: int = NUM_PERM, base: str = "xxhash64") -> Column:
     """array<bigint> minhash signature of a token array."""
     a_co, b_co = _coefficients(num_perm)
-    base = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(_H_SPACE)))
+    hs = F.transform(tokens, lambda t: _base_hash(t, base))
     pairs = F.arrays_zip(
         F.array(*[F.lit(a) for a in a_co]).alias("a"),
         F.array(*[F.lit(b) for b in b_co]).alias("b"),
@@ -89,7 +99,7 @@ def minhash_signature(tokens: Column, num_perm: int = NUM_PERM) -> Column:
         lambda p: F.coalesce(
             F.array_min(
                 F.transform(
-                    base,
+                    hs,
                     lambda h: F.pmod(F.pmod(p["a"] * h + p["b"], F.lit(_P)), F.lit(_H_SPACE)),
                 )
             ),
@@ -110,11 +120,11 @@ def lsh_bands(sig: Column, bands: int = LSH_BANDS, num_perm: int = NUM_PERM) -> 
     )
 
 
-def token_base_hashes(tokens: Column) -> Column:
-    """array<bigint>: ``xxhash64(token) mod 2^31`` per token — the single
-    JVM-side pass shared by BOTH signature paths, which is what makes the
-    Arrow path value-identical to the HOF path."""
-    return F.transform(tokens, lambda t: F.pmod(F.xxhash64(t), F.lit(_H_SPACE)))
+def token_base_hashes(tokens: Column, base: str = "xxhash64") -> Column:
+    """array<bigint>: base hash mod 2^31 per token — the single JVM-side
+    pass shared by BOTH signature paths, which is what makes the Arrow
+    path value-identical to the HOF path."""
+    return F.transform(tokens, lambda t: _base_hash(t, base))
 
 
 def signature_from_hashes_udf(num_perm: int = NUM_PERM):
@@ -160,17 +170,19 @@ def with_minhash(
     num_perm: int = NUM_PERM,
     bands: int = LSH_BANDS,
     use_arrow: bool = True,
+    base: str = "xxhash64",
 ) -> DataFrame:
     """Add mh_sig + mh_bands.  Both paths produce IDENTICAL signatures;
     the Arrow hybrid is the default (the pure-HOF path was the round-1
     bench hotspot), the HOF path remains as the no-Python-workers option
     and as the independent implementation the equality test checks
-    against."""
+    against.  ``base="sha"`` makes signatures DuckDB-replicable (see
+    :func:`_base_hash`)."""
     tokens = tokenize(text_col) if shingle_words else char_shingles(text_col)
     if use_arrow:
-        sig = signature_from_hashes_udf(num_perm)(token_base_hashes(tokens))
+        sig = signature_from_hashes_udf(num_perm)(token_base_hashes(tokens, base))
     else:
-        sig = minhash_signature(tokens, num_perm)
+        sig = minhash_signature(tokens, num_perm, base)
     return df.withColumn("mh_sig", sig).withColumn(
         "mh_bands", lsh_bands(F.col("mh_sig"), bands, num_perm)
     )

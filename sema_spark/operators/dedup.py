@@ -87,12 +87,14 @@ def minhash_candidate_pairs(
     threshold: float = 0.7,
     max_bucket: int = 1000,
     shingle_words: bool = True,
+    base: str = "xxhash64",
 ) -> DataFrame:
     """(a, b, est_jaccard) pairs with estimated Jaccard ≥ threshold.
     ``shingle_words=False`` switches the similarity measure to char
     3-shingles (the right basis when the downstream re-rank is
     char-n-gram Jaccard — candidate filter and re-rank then estimate
-    the SAME quantity)."""
+    the SAME quantity).  ``base="sha"`` switches the token base hash to
+    a sha256-derived value a DuckDB oracle can replicate."""
     # materialize the signatures ONCE (the expensive vectorized hash
     # pipeline), then band/join on slim (id, band, bh) rows only — the
     # 64-long signature array never enters the self-join shuffle
@@ -101,6 +103,7 @@ def minhash_candidate_pairs(
         text_col="t",
         shingle_words=shingle_words,
         bands=choose_bands(threshold),
+        base=base,
     ).select("id", "mh_sig", "mh_bands").transform(materialize)
     bands = explode_bands(mh, ["id"])
     cap = Window.partitionBy("band", "bh").orderBy("id")
@@ -203,6 +206,7 @@ def minhash_dedup(
     text_col: str = "text",
     threshold: float = 0.7,
     exact_pairs: bool = False,
+    base: str = "xxhash64",
 ) -> DataFrame:
     """df minus near-duplicates (min numeric id kept per component).
 
@@ -210,9 +214,10 @@ def minhash_dedup(
     :func:`minhash_dup_edges` for the recall caveat).
     ``exact_pairs=True``: CC over the full verified pair clique
     (O(Σ bucket²), capped per bucket) — every same-bucket pair with
-    signature Jaccard ≥ threshold is linked."""
+    signature Jaccard ≥ threshold is linked.  ``base="sha"`` makes the
+    whole pipeline DuckDB-replicable (the dedup_minhash_sha oracle)."""
     if exact_pairs:
-        pairs = minhash_candidate_pairs(df, id_col, text_col, threshold)
+        pairs = minhash_candidate_pairs(df, id_col, text_col, threshold, base=base)
     else:
         pairs = minhash_dup_edges(df, id_col, text_col, threshold)
     return _drop_cc_losers(df, pairs, id_col)

@@ -46,6 +46,32 @@ def test_minhash_paths_value_identical(spark, docs):
     assert hof == arrow
 
 
+def test_minhash_sha_base(spark, docs):
+    """sha base: both paths identical to each other AND to a pure-Python
+    recomputation of the sha256-derived base hash + permutation grid
+    (the arithmetic the DuckDB dedup_minhash_sha oracle replicates)."""
+    import hashlib
+
+    from sema_spark.functions.minhash import _coefficients
+
+    hof = {r.id: r.mh_sig for r in with_minhash(docs, use_arrow=False, base="sha").select("id", "mh_sig").collect()}
+    arrow = {r.id: r.mh_sig for r in with_minhash(docs, use_arrow=True, base="sha").select("id", "mh_sig").collect()}
+    assert hof == arrow
+    # sha base must differ from xxhash64 base (it's a different hash)
+    xx = {r.id: r.mh_sig for r in with_minhash(docs, use_arrow=True).select("id", "mh_sig").collect()}
+    assert hof["a"] != xx["a"]
+
+    P, H = (1 << 61) - 1, 1 << 31
+    A, B = _coefficients(64)
+    import re
+
+    for rid, text in ROWS:
+        toks = list(dict.fromkeys(t for t in re.split(r"[^a-z0-9]+", (text or "").lower()) if t))
+        hs = [int(hashlib.sha256(t.encode()).hexdigest()[:8], 16) % H for t in toks]
+        expect = [min(((a * h + b) % P) % H for h in hs) if hs else P for a, b in zip(A, B)]
+        assert hof[rid] == expect, rid
+
+
 def test_simhash_paths_value_identical(spark, docs):
     out = docs.select(
         "id",
