@@ -326,45 +326,20 @@ def q_s4_posting_list(spark, sf):
 
 
 def q_a4_bm25_search(spark, sf):
-    """A4/entry-point-C: BM25 ranking for query {spark, join} from the
-    posting list — idf/df from aggregates, k1=1.2 b=0.75.
+    """A4/entry-point-C: BM25 ranking for query {spark, join} via the
+    round-3 single-pass operator (operators/search.bm25_search): per-doc
+    term frequencies straight off the token array — no explode, no
+    (doc, term) posting shuffle — corpus stats (n_docs, exact-int avgdl,
+    per-term df) in one aggregate broadcast back as a 1-row crossJoin,
+    terms folded in pinned lex order.  The only exchange in the plan is
+    the final top-k (plan-asserted in tests/test_plans.py).  Values are
+    bit-identical to the round-2 posting formulation: a 2-term sum is
+    commutative and absent terms contribute an exact fp-identity 0.0,
+    so the oracle is unchanged."""
+    from sema_spark.operators.search import bm25_search
 
-    ONE driver action: corpus stats (n_docs, avgdl) are a 1-row aggregate
-    DataFrame crossJoin-broadcast into the scoring plan — no count() /
-    collect() pre-passes (round 1 rescanned documents 3x; at 100x scale
-    that's 3 full corpus reads)."""
-    posting = q_s4_posting_list(spark, sf)
-    docs = _docs(spark, sf)
-    dl = docs.select(
-        "doc_id", F.size(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != "")).alias("dl")
-    )
-    # avgdl from an exact integer sum: avg() over doubles drifts with
-    # partial-agg order and would poison every score cross-engine
-    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("_sdl")).select(
-        "n_docs", (F.col("_sdl").cast("double") / F.col("n_docs")).alias("avgdl")
-    )
-    qterms = ["spark", "join"]
-    df_ = posting.filter(F.col("term").isin(qterms)).groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        posting.filter(F.col("term").isin(qterms))
-        .join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf", F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-        )
-        .withColumn(
-            "s",
-            F.col("idf")
-            * (F.col("tf") * 2.2)
-            / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("s"), 4).alias("bm25"))
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(QUERY_LIMIT_K)
+    return bm25_search(_docs(spark, sf), "spark join", k=QUERY_LIMIT_K).withColumnRenamed(
+        "score", "bm25"
     )
 
 

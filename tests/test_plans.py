@@ -108,3 +108,20 @@ def test_bm25_plans_without_driver_actions(spark, monkeypatch):
     df = E.q_a4_bm25_search(spark, "/root/testdata/sf0.001")
     df2 = E.q_a4_query_parser(spark, "/root/testdata/sf0.001")
     assert df.columns and df2.columns  # plans are real
+
+
+def test_bm25_plan_has_no_posting_shuffle(spark):
+    """Round-3 single-pass BM25: per-doc term frequencies come straight
+    off the token array, so the plan must contain NO explode-driven
+    (doc, term) exchange and no UDF — the only exchanges allowed are the
+    broadcast of the 1-row stats aggregate and the final top-k."""
+    plan = _plan(E.q_a4_bm25_search(spark, SF))
+    assert "Generate explode" not in plan  # no posting explosion
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    # exactly one non-broadcast exchange family: the stats row reaches
+    # the scoring side as a BroadcastExchange, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles == 0, f"unexpected hash shuffle in BM25 plan:\n{plan}"
