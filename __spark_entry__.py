@@ -353,6 +353,21 @@ def q_a4_query_parser(spark, sf):
     return bm25_search(_docs(spark, sf), 'spark "sort key" +hash -merge', k=QUERY_LIMIT_K)
 
 
+def q_a4_query_parser_ext(spark, sf):
+    """A4/entry-C parser fidelity tail (round 3): fuzzy terms
+    (``spark~1`` — Levenshtein ≤ 1 token match for tf, df, and the
+    required check), boosts (``+window^2`` — multiplies that term's
+    scoring clause), and field-scoped terms (``lang:en`` — equality
+    filter on the document column, tantivy's per-field index
+    degenerated to one text field), composed with exclusion.  Oracle
+    replicates tf/df via DuckDB's levenshtein and the boosted fold."""
+    from sema_spark.operators.search import bm25_search
+
+    return bm25_search(
+        _docs(spark, sf), "spark~1 +window^2 lang:en -merge", k=QUERY_LIMIT_K
+    )
+
+
 def q_s6_point_lookup(spark, sf):
     return _docs(spark, sf).filter(F.col("doc_id") == 42).select("doc_id", "source", "n_chars").limit(1)
 
@@ -865,6 +880,7 @@ def _build_registry():
         "s4_posting_list": q_s4_posting_list,
         "a4_bm25_search": q_a4_bm25_search,
         "a4_query_parser": q_a4_query_parser,
+        "a4_query_parser_ext": q_a4_query_parser_ext,
         "s6_point_lookup": q_s6_point_lookup,
         "f6_like_fallback": q_f6_like_fallback,
         "j4_connected_components": q_j4_connected_components,
@@ -1088,6 +1104,42 @@ def oracle_sql() -> dict[str, str]:
               cross join stats s cross join avg_dl a
               where p.term in ('spark','join'))
             group by doc_id order by bm25 desc, doc_id limit {QUERY_LIMIT_K}
+        """,
+        "a4_query_parser_ext": f"""
+            -- parser tail: fuzzy tf/df via levenshtein <= 1, boost x2
+            -- on the required term's clause, lang:en as a column
+            -- filter, -merge exclusion.  Fold = (0 + s_spark) +
+            -- 2*s_window on the Spark side; 0+x is an fp identity so
+            -- the two-term sum here is bit-identical.
+            with toks as (
+              select doc_id, lang,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') as t
+              from documents),
+            feat as (
+              select doc_id, lang, len(t) as dl,
+                     len(list_filter(t, x -> levenshtein(x, 'spark') <= 1)) as tf_spark,
+                     len(list_filter(t, x -> x = 'window')) as tf_window,
+                     list_contains(t, 'merge') as has_merge
+              from toks),
+            stats as (
+              select count(*) as n_docs,
+                     sum(dl)::double / count(*) as avgdl,
+                     sum(case when tf_spark > 0 then 1 else 0 end) as df_spark,
+                     sum(case when tf_window > 0 then 1 else 0 end) as df_window
+              from feat)
+            select doc_id,
+                   round(
+                     (ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+                        * (tf_spark * 2.2)
+                        / (tf_spark + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+                   + 2.0 * (ln((n_docs - df_window + 0.5) / (df_window + 0.5) + 1.0)
+                        * (tf_window * 2.2)
+                        / (tf_window + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) as score
+            from feat cross join stats
+            where lang = 'en' and tf_window > 0 and not has_merge
+              and (tf_spark > 0 or tf_window > 0)
+            order by score desc, doc_id limit {QUERY_LIMIT_K}
         """,
         "a4_query_parser": f"""
             with toks as (

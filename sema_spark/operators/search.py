@@ -13,7 +13,16 @@ commonly-used subset over the posting-list plan:
   tokenized document (the index-free equivalent of positional postings
   — same token basis as the postings, so no substring false positives
   like 're[sort key]ed' and no false negatives for punctuation-separated
-  adjacent tokens), and the phrase's words join the scored term set.
+  adjacent tokens), and the phrase's words join the scored term set;
+* ``term^2`` — boost: multiplies that term's scoring clause (round 3);
+* ``term~1`` — fuzzy: tokens within Levenshtein distance n (≤ 2, like
+  tantivy) match for both tf and the required check (round 3);
+* ``field:value`` — field-scoped term, applied as an equality filter on
+  that document column (the reference's per-field index degenerates to
+  a metadata filter when only one text field exists) (round 3).
+
+Still not modeled (documented): phrase slop ``"a b"~2``, modifiers on
+excluded terms.
 
 Plan shape (round 3, genuinely single-pass): the query's terms are a
 small fixed set, so per-doc term frequencies are computed straight off
@@ -44,12 +53,30 @@ K1 = 1.2
 B = 0.75
 
 
+_BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
+_FUZZY = re.compile(r"~(\d)?$")
+_FIELD = re.compile(r"^([a-z_][a-z0-9_]*):(.+)$")
+
+
 @dataclass(frozen=True)
 class ParsedQuery:
+    """Tantivy-subset parse result.
+
+    ``boosts``/``fuzzy`` carry the ``term^2`` / ``term~1`` modifiers for
+    scored terms (default 1.0 / 0); ``scoped`` carries ``field:value``
+    terms, applied as equality filters on that document column (the
+    reference hands these to tantivy's per-field index; with a single
+    indexed text field, non-default fields act as metadata filters).
+    Not modeled (documented): phrase slop ``"a b"~2``, fuzzy/boost on
+    excluded terms."""
+
     should: tuple[str, ...]
     must: tuple[str, ...]
     must_not: tuple[str, ...]
     phrases: tuple[str, ...]
+    boosts: tuple[tuple[str, float], ...] = ()
+    fuzzy: tuple[tuple[str, int], ...] = ()
+    scoped: tuple[tuple[str, str], ...] = ()
 
     @property
     def scored_terms(self) -> tuple[str, ...]:
@@ -61,13 +88,26 @@ class ParsedQuery:
                 seen.setdefault(w)
         return tuple(seen)
 
+    def boost_of(self, term: str) -> float:
+        return dict(self.boosts).get(term, 1.0)
+
+    def fuzzy_of(self, term: str) -> int:
+        return dict(self.fuzzy).get(term, 0)
+
 
 def parse_query(q: str) -> ParsedQuery:
-    """Parse the tantivy-ish subset; terms are lowercased alnum runs."""
+    """Parse the tantivy-ish subset; terms are lowercased alnum runs.
+
+    Modifiers: ``+term`` required, ``-term`` excluded, ``"a b"`` phrase,
+    ``term^2`` boost, ``term~1`` fuzzy (Levenshtein ≤ n, default 1,
+    capped at 2 like tantivy), ``field:value`` field-scoped."""
     should: list[str] = []
     must: list[str] = []
     must_not: list[str] = []
     phrases: list[str] = []
+    boosts: dict[str, float] = {}
+    fuzzy: dict[str, int] = {}
+    scoped: list[tuple[str, str]] = []
 
     def words(s: str) -> list[str]:
         return _WORD.findall(s.lower())
@@ -84,8 +124,28 @@ def parse_query(q: str) -> ParsedQuery:
             target, tok = must, tok[1:]
         elif tok.startswith("-"):
             target, tok = must_not, tok[1:]
-        target.extend(words(tok))
-    return ParsedQuery(tuple(should), tuple(must), tuple(must_not), tuple(phrases))
+        boost = None
+        bm = _BOOST.search(tok)
+        if bm:
+            boost, tok = float(bm.group(1)), tok[: bm.start()]
+        dist = None
+        fm = _FUZZY.search(tok)
+        if fm:
+            dist, tok = min(int(fm.group(1) or 1), 2), tok[: fm.start()]
+        sm = _FIELD.match(tok)
+        if sm and target is not must_not:
+            scoped.append((sm.group(1), sm.group(2).lower()))
+            continue
+        for w in words(tok):
+            target.append(w)
+            if boost is not None and target is not must_not:
+                boosts[w] = boost
+            if dist is not None and target is not must_not:
+                fuzzy[w] = dist
+    return ParsedQuery(
+        tuple(should), tuple(must), tuple(must_not), tuple(phrases),
+        tuple(boosts.items()), tuple(fuzzy.items()), tuple(scoped),
+    )
 
 
 def _tokens(text_col: str):
@@ -103,8 +163,16 @@ def _has_phrase(toks, words: list[str]):
     return tokstr.contains(" " + " ".join(words) + " ")
 
 
-def _tf_count(toks, term: str):
-    """Occurrences of ``term`` in the token array (codegen size+filter)."""
+def _tf_count(toks, term: str, fuzzy: int = 0):
+    """Occurrences of ``term`` in the token array (codegen size+filter).
+
+    ``fuzzy`` > 0 counts tokens within that Levenshtein distance — fine
+    for per-doc token arrays; at index scale the standard plan is to
+    expand the fuzzy term against a term DICTIONARY first (small join)
+    and score the expansion exactly, which this operator's df/tf
+    machinery already supports (the expansion is just more qterms)."""
+    if fuzzy > 0:
+        return F.size(F.filter(toks, lambda x: F.levenshtein(x, F.lit(term)) <= F.lit(fuzzy)))
     return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
 
@@ -134,8 +202,12 @@ def bm25_search(
         keep = keep & _has_phrase(toks, ph.split(" "))
     for t in pq.must_not:
         keep = keep & ~F.array_contains(toks, F.lit(t))
-    for t in pq.must:
-        keep = keep & F.array_contains(toks, F.lit(t))
+    for t in pq.must:  # fuzzy must-terms require a fuzzy match
+        keep = keep & (_tf_count(toks, t, pq.fuzzy_of(t)) > 0)
+    for field, value in pq.scoped:
+        if field not in docs.columns:
+            raise ValueError(f"field-scoped term references unknown column {field!r}")
+        keep = keep & (F.lower(F.col(field).cast("string")) == F.lit(value))
 
     # ONE projection: doc length + tf per query term, straight off the
     # token array (query term sets are small; no explode, no posting
@@ -147,7 +219,7 @@ def bm25_search(
         keep.alias("_keep"),
         # factory, not a default-arg lambda: a 2-param HOF lambda would
         # receive (element, index) and silently compare against the index
-        *[_tf_count(toks, t).alias(f"_tf_{i}") for i, t in enumerate(qterms)],
+        *[_tf_count(toks, t, pq.fuzzy_of(t)).alias(f"_tf_{i}") for i, t in enumerate(qterms)],
     )
     # corpus-wide stats in one aggregate: n_docs, exact-integer dl sum
     # (avg() over doubles drifts with partial-agg order), and per-term
@@ -160,12 +232,14 @@ def bm25_search(
 
     score = F.lit(0.0)
     any_present = F.lit(False)
-    for i in range(len(qterms)):
+    for i, t in enumerate(qterms):
         df_i = F.col(f"_df_{i}")
         idf = F.log((F.col("n_docs") - df_i + 0.5) / (df_i + 0.5) + 1.0)
-        score = score + idf * (tf(i) * (K1 + 1.0)) / (
+        s_i = idf * (tf(i) * (K1 + 1.0)) / (
             tf(i) + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
         )
+        boost = pq.boost_of(t)
+        score = score + (s_i if boost == 1.0 else F.lit(boost) * s_i)
         any_present = any_present | (tf(i) > 0)
 
     return (

@@ -56,3 +56,41 @@ def test_phrase_is_token_adjacency_not_substring(spark):
     )
     out = bm25_search(docs, '"sort key" +hash', k=10)
     assert {r.doc_id for r in out.collect()} == {2}
+
+
+def test_parse_query_modifiers():
+    from sema_spark.operators.search import parse_query
+
+    pq = parse_query('spark~1 +window^2 lang:en -merge cost^0.5 exact~')
+    assert pq.should == ("spark", "cost", "exact")
+    assert pq.must == ("window",)
+    assert pq.must_not == ("merge",)
+    assert dict(pq.scoped) == {"lang": "en"}
+    assert pq.boost_of("window") == 2.0 and pq.boost_of("cost") == 0.5
+    assert pq.boost_of("spark") == 1.0  # unmodified default
+    assert pq.fuzzy_of("spark") == 1 and pq.fuzzy_of("exact") == 1  # bare ~ → 1
+    assert pq.fuzzy_of("window") == 0
+    assert parse_query("deep~9").fuzzy_of("deep") == 2  # capped like tantivy
+
+
+def test_bm25_fuzzy_boost_and_field_scope(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "spark window shuffle"),      # exact everything
+            (2, "en", "sparks window shuffle"),     # 1-edit fuzzy match
+            (3, "en", "sparkle window shuffle"),    # 2 edits → no fuzzy tf
+            (4, "de", "spark window shuffle"),      # wrong lang → filtered
+            (5, "en", "spark shuffle"),             # no required window → dropped
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.doc_id: r.score for r in bm25_search(docs, "spark~1 +window^2 lang:en", k=10).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] == out[2]  # fuzzy tf counts 'sparks' same as 'spark'
+    assert out[3] < out[1]  # no spark clause, only the boosted window
+    # boost doubles the window clause: rerun without boost and compare
+    plain = {r.doc_id: r.score for r in bm25_search(docs, "spark~1 +window lang:en", k=10).collect()}
+    assert out[3] == pytest.approx(2 * plain[3], rel=1e-9)
+
+    with pytest.raises(ValueError, match="unknown column"):
+        bm25_search(docs, "spark +nope:x", k=5).collect()
