@@ -844,6 +844,83 @@ def q_multimodal_real_decode(spark, sf):
     return out.select("media_id", "kind", F.size("feature").alias("dim"), *cols)
 
 
+def q_decontaminate(spark, sf):
+    """Test-set decontamination: flag training docs sharing any word
+    n-gram with a benchmark set (benchmark = every 97th doc).  n=3 here
+    because the synthetic corpus draws from a tiny vocabulary; production
+    corpora use the published n=13 (GPT-3 appendix C).  Benchmark grams
+    broadcast — the corpus never shuffles."""
+    from sema_spark.operators.curation import decontaminate
+
+    docs = _docs(spark, sf)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, bench, n=3)
+
+
+def q_dedup_passages(spark, sf):
+    """CCNet-style corpus-wide passage dedup: 10-word passages, global
+    first occurrence (by doc_id, pos) survives, text reassembled.  The
+    winner shuffle carries a 128-bit sha prefix, not passage text; the
+    oracle dedups by the passage string itself, so equality also proves
+    the hash introduces no collision at this scale."""
+    from sema_spark.operators.curation import dedup_passages
+
+    return dedup_passages(_docs(spark, sf), passage_words=10)
+
+
+def q_repetition_signals(spark, sf):
+    """Gopher-style repetition quality signals + keep flag."""
+    from sema_spark.operators.curation import repetition_signals
+
+    return repetition_signals(_docs(spark, sf))
+
+
+def q_redact_pii(spark, sf):
+    """PII redaction (emails / phones / IPv4) with per-kind counts.  The
+    corpus has no PII, so both engines deterministically append identical
+    synthetic contact strings per row — the redaction, counts, and
+    pattern-ordering logic are exercised end-to-end on real data widths."""
+    from sema_spark.operators.curation import redact_pii
+
+    aug = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-012-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    ex = redact_pii("text")
+    return aug.select(
+        "doc_id",
+        ex["redacted"].alias("redacted"),
+        ex["n_email"].cast("bigint").alias("n_email"),
+        ex["n_phone"].cast("bigint").alias("n_phone"),
+        ex["n_ipv4"].cast("bigint").alias("n_ipv4"),
+    )
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling by sha256 bucket of the row key —
+    reproducible across engines/partitionings/retries, unlike sampleBy's
+    seeded per-partition RNG.  Fractions: en 50%, de 25%, zh 10%, others
+    dropped."""
+    from sema_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf),
+        {"en": 0.5, "de": 0.25, "zh": 0.1},
+        strata_col="lang",
+        key_col="doc_id",
+    ).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark, sf_dir):
@@ -912,6 +989,11 @@ def _build_registry():
         "semantic_search": q_semantic_search,
         "multimodal_features": q_multimodal_features,
         "multimodal_real_decode": q_multimodal_real_decode,
+        "decontaminate": q_decontaminate,
+        "dedup_passages": q_dedup_passages,
+        "repetition_signals": q_repetition_signals,
+        "redact_pii": q_redact_pii,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1692,5 +1774,93 @@ def oracle_sql() -> dict[str, str]:
               from filtered)
             select doc_id, lang_guess, quality from deduped
             where rn = 1 and doc_id % 10 < 8
+        """,
+        "decontaminate": r"""
+            with toks as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
+                          from documents),
+            grams as (select doc_id,
+                             unnest([array_to_string(w[i:i+2], ' ')
+                                     for i in range(1, len(w) - 1)]) as g
+                      from toks where len(w) >= 3),
+            bench as (select distinct g from grams where doc_id % 97 = 0),
+            cont as (select distinct doc_id from grams
+                     where doc_id % 97 <> 0 and g in (select g from bench))
+            select t.doc_id, (c.doc_id is not null) as contaminated
+            from (select doc_id from documents where doc_id % 97 <> 0) t
+            left join cont c on t.doc_id = c.doc_id
+        """,
+        "dedup_passages": r"""
+            with toks as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
+                          from documents),
+            p as (select doc_id, (i - 1) // 10 as pos,
+                         array_to_string(w[i:i+9], ' ') as passage
+                  from toks, range(1, 1000000) t(i)
+                  where i <= len(w) and (i - 1) % 10 = 0),
+            kept as (select doc_id, pos, passage,
+                            row_number() over (partition by passage
+                                               order by doc_id, pos) as rn
+                     from p),
+            tot as (select doc_id, count(*) as n_passages from p group by 1),
+            agg as (select doc_id,
+                           string_agg(passage, ' ' order by pos) as clean_text,
+                           count(*) as n_kept
+                    from kept where rn = 1 group by 1)
+            select t.doc_id, coalesce(a.clean_text, '') as clean_text,
+                   t.n_passages, coalesce(a.n_kept, 0) as n_kept
+            from tot t left join agg a on t.doc_id = a.doc_id
+        """,
+        "repetition_signals": r"""
+            with toks as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
+                          from documents),
+            words as (select doc_id, unnest(w) as word from toks),
+            wc as (select doc_id, word, count(*) as c from words group by 1, 2),
+            ws as (select doc_id,
+                          cast(sum(c) as bigint) as n_words,
+                          cast(max(c) as double) / cast(sum(c) as double) as twf,
+                          cast(sum(length(word) * c) as double)
+                            / cast(sum(c) as double) as mwl
+                   from wc group by 1),
+            big as (select doc_id,
+                           unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) as bg
+                    from toks where len(w) >= 2),
+            bs as (select doc_id,
+                          1.0 - cast(count(distinct bg) as double)
+                              / cast(count(*) as double) as dbf
+                   from big group by 1)
+            select ws.doc_id, ws.n_words,
+                   round(ws.twf, 6) as top_word_frac,
+                   round(coalesce(bs.dbf, 0.0), 6) as dup_bigram_frac,
+                   round(ws.mwl, 6) as mean_word_len,
+                   (ws.twf <= 0.12 and coalesce(bs.dbf, 0.0) <= 0.05) as keep
+            from ws left join bs on ws.doc_id = bs.doc_id
+        """,
+        "redact_pii": r"""
+            with aug as (select doc_id,
+              text || ' contact user' || doc_id || '@mail.example.com or 555-012-'
+                   || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                   || ' ip 10.0.' || (doc_id % 256) || '.7' as t
+              from documents)
+            select doc_id,
+              regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') as redacted,
+              cast(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint) as n_email,
+              cast(len(regexp_extract_all(t,
+                '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) as bigint) as n_phone,
+              cast(len(regexp_extract_all(t,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as bigint) as n_ipv4
+            from aug
+        """,
+        "stratified_sample": r"""
+            with b as (select doc_id, lang,
+              cast(list_sum([cast(strpos('0123456789abcdef',
+                       substr(sha256(cast(doc_id as varchar)), i + 1, 1)) - 1 as bigint)
+                     << (4 * (7 - i)) for i in range(0, 8)]) as bigint) % 10000 as bucket
+              from documents)
+            select doc_id, lang from b
+            where bucket < (case lang when 'en' then 0.5 when 'de' then 0.25
+                                      when 'zh' then 0.1 else 0.0 end) * 10000
         """,
     }

@@ -1,0 +1,300 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Five operators a 100 TB curation job needs beyond near-dup detection:
+
+* :func:`decontaminate` — drop documents that share a word n-gram with a
+  benchmark/eval set (the standard "test-set decontamination" pass, cf.
+  GPT-3 appendix C / Gopher section A.3 style n-gram overlap).
+* :func:`dedup_passages` — corpus-wide first-occurrence deduplication of
+  fixed-width word passages (CCNet-style paragraph dedup adapted to
+  unstructured word-stream text), reassembling the surviving text.
+* :func:`repetition_signals` — Gopher-style repetition quality signals
+  (top-word fraction, duplicate-bigram fraction, mean word length) and a
+  composite keep flag.
+* :func:`redact_pii` — regex redaction of emails / NANP phone numbers /
+  IPv4 addresses with per-kind counts (RE2-safe patterns, so the same
+  regexes run in any engine).
+* :func:`stratified_sample` — deterministic per-stratum sampling by a
+  sha256 bucket of the row key: exact, reproducible fractions with no RNG
+  (``df.sampleBy`` is seed-dependent across partitionings; a content-keyed
+  hash is not).
+
+All hot paths are built-in expressions (whole-stage codegen); the only
+shuffles are the ones the semantics force, and each docstring names them.
+Every operator is dual-expressed in ANSI SQL by the driver oracles in
+``__spark_entry__.oracle_sql``.
+
+Reference parity note: the reference engine (akshitsinha/sema) has no
+curation layer — these operators extend the engine for the training-data
+use cases named in the build brief, over the same ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "decontaminate",
+    "dedup_passages",
+    "repetition_signals",
+    "redact_pii",
+    "stratified_sample",
+    "sha_bucket",
+]
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (empty if fewer than n words)."""
+    cnt = F.size(words) - (n - 1)
+    return F.when(cnt >= 1, F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with a
+    benchmark set.
+
+    Returns ``docs`` columns ``(id_col, contaminated)`` — callers anti-join
+    or filter on the flag.  ``n=13`` is the published GPT-3/Gopher choice;
+    tests use a smaller ``n`` because the synthetic corpus repeats a tiny
+    vocabulary.
+
+    Scale design (100 TB corpus, small benchmark):
+
+    * The benchmark side is n-grammed, deduplicated, and **broadcast** —
+      eval suites are MBs, so their distinct-gram set fits on every
+      executor and the corpus never shuffles.
+    * The corpus side is a narrow pass: split → explode grams (projected to
+      ``(id, gram)`` only) → broadcast LEFT SEMI join → distinct ids.  The
+      only shuffle is the final distinct over contaminated ids, which is
+      tiny (bounded by the corpus row count, heavily combiner-reduced).
+    * Gram strings (not hashes) join so the result is collision-exact; the
+      broadcast side is the small one so the string width doesn't matter.
+    """
+    words = lambda c: F.split(F.trim(c), r"\s+")  # noqa: E731
+    bench_grams = (
+        benchmark.select(F.explode(_word_ngrams(words(F.col(text_col)), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_word_ngrams(words(F.col(text_col)), n)).alias("gram")
+    )
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.select(id_col)
+        .join(contaminated, id_col, "left")
+        .select(id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
+    )
+
+
+def dedup_passages(
+    docs: DataFrame,
+    *,
+    passage_words: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide passage dedup: split each document into consecutive
+    ``passage_words``-word passages, keep only the globally-first
+    occurrence of each distinct passage (ordered by ``(id, position)``),
+    and reassemble the surviving text.
+
+    Returns ``(id_col, clean_text, n_passages, n_kept)``.
+
+    Scale design: the winner-per-passage aggregation shuffles a **128-bit
+    sha256 prefix** of the passage, never the passage text — 16 bytes/row
+    where the raw passage is ~60-120 bytes, and collision-safe at 10^12
+    passages (a 64-bit hash is not: ~3·10^4 expected collisions at that
+    count).  Two shuffles total, both forced by the semantics: winner
+    selection keyed on the passage hash (`min(struct(id,pos))`, partial-agg
+    friendly), and document reassembly keyed on id.  The keeper set joins
+    back to the exploded passages on ``(hash, id, pos)`` — an equi-join AQE
+    can plan as broadcast when the keeper side is small.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_pass = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
+    passages = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_pass - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(words, i * passage_words + 1, passage_words)
+                ),
+            )
+        ).alias("_pos", "_passage"),
+    ).withColumn("_h", F.substring(F.sha2(F.col("_passage"), 256), 1, 32))
+
+    keepers = passages.groupBy("_h").agg(
+        F.min(F.struct("_id", "_pos")).alias("_first")
+    ).select("_h", F.col("_first._id").alias("_id"), F.col("_first._pos").alias("_pos"))
+
+    kept = passages.join(keepers, ["_h", "_id", "_pos"], "left_semi")
+    totals = passages.groupBy("_id").agg(F.count("*").alias("n_passages"))
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_passage"))),
+                    lambda s: s["_passage"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+        .join(totals, "_id", "right")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_passages",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top_word_frac: float = 0.12,
+    max_dup_bigram_frac: float = 0.05,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Returns ``(id_col, n_words, top_word_frac, dup_bigram_frac,
+    mean_word_len, keep)`` where ``keep`` ANDs the two repetition
+    thresholds (defaults chosen to split the synthetic corpus; Gopher's
+    published thresholds are for web text).
+
+    Scale design: explode words / bigrams and aggregate — both shuffles are
+    keyed by ``(id, token)`` then ``id`` and are fully partial-aggregated
+    map-side (counts), so the shuffled volume is bounded by the distinct
+    token count per document, not the token count.  No window functions, no
+    Python.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col).alias("_id"), words.alias("_w"))
+
+    word_rows = base.select("_id", F.explode("_w").alias("_word"))
+    word_stats = (
+        word_rows.groupBy("_id", "_word")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_words"),
+            (F.max("_c") / F.sum("_c")).alias("top_word_frac"),
+            (F.sum(F.length("_word") * F.col("_c")) / F.sum("_c")).alias("mean_word_len"),
+        )
+    )
+
+    bigrams = base.select(
+        "_id",
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - 1),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_bg"),
+    )
+    bigram_stats = bigrams.groupBy("_id").agg(
+        (F.lit(1.0) - F.count_distinct("_bg") / F.count("*")).alias("dup_bigram_frac")
+    )
+
+    return (
+        word_stats.join(bigram_stats, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            F.round("top_word_frac", 6).alias("top_word_frac"),
+            F.round(F.coalesce("dup_bigram_frac", F.lit(0.0)), 6).alias("dup_bigram_frac"),
+            F.round("mean_word_len", 6).alias("mean_word_len"),
+            (
+                (F.col("top_word_frac") <= max_top_word_frac)
+                & (F.coalesce("dup_bigram_frac", F.lit(0.0)) <= max_dup_bigram_frac)
+            ).alias("keep"),
+        )
+    )
+
+
+# RE2-safe (no lookaround/backrefs) so Spark, DuckDB, and the reference
+# regex engines all agree.  Order matters: emails are redacted before
+# phones so a phone-like local part can't double-match.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def redact_pii(col: Column | str) -> dict[str, Column]:
+    """Redact emails / phones / IPv4s, returning expression dict
+    ``{"redacted": .., "n_email": .., "n_phone": .., "n_ipv4": ..}``.
+
+    Counts are measured on the original text; redaction applies the three
+    patterns in PII_PATTERNS order (email first — see comment above).
+    Pure codegen expressions: zero shuffles, zero Python.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    counts = {
+        f"n_{k}": F.size(F.regexp_extract_all(col, F.lit(p), F.lit(0)))
+        for k, p in PII_PATTERNS.items()
+    }
+    red = col
+    for k, p in PII_PATTERNS.items():
+        red = F.regexp_replace(red, p, f"<{k.upper()}>")
+    return {"redacted": red, **counts}
+
+
+def sha_bucket(col: Column | str, buckets: int = 10_000) -> Column:
+    """Deterministic [0, buckets) bucket from the first 8 hex chars of
+    sha256 — identical in Spark (``conv``) and DuckDB (``strpos`` fold),
+    unlike xxhash64 (Spark-only) or RNG (seed/partitioning-dependent)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return (F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 8), 16, 10).cast("bigint") % buckets)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    key_col: str,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff
+    ``sha_bucket(key) < fractions[stratum] * buckets``.
+
+    Unlike ``DataFrame.sampleBy`` (Bernoulli on a per-partition seeded RNG
+    — result changes with partitioning), this is a pure function of row
+    content: reproducible across engines, cluster sizes, and retries, which
+    is what a training-data pipeline needs for auditable sampling.
+    Strata absent from ``fractions`` are dropped (fraction 0.0).
+
+    Scale: a single narrow filter — no shuffle, no RNG state; predicate
+    pushdown-friendly (the sha bucket can't push to parquet, but the
+    stratum IN-list can).
+    """
+    frac = F.lit(0.0)
+    for s, f in fractions.items():
+        frac = F.when(F.col(strata_col) == s, F.lit(float(f))).otherwise(frac)
+    return df.where(sha_bucket(F.col(key_col), buckets) < frac * buckets)

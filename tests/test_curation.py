@@ -1,0 +1,178 @@
+"""Curation-operator tests: adversarial edges the sf-corpus can't hit
+(empty text, single word, all-duplicate passages, PII boundary shapes),
+plus cross-checks against independent pure-Python computations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sema_spark.operators.curation import (
+    decontaminate,
+    dedup_passages,
+    redact_pii,
+    repetition_signals,
+    sha_bucket,
+    stratified_sample,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+# ------------------------------------------------------------ decontaminate
+def test_decontaminate_flags_shared_ngrams(spark):
+    docs = _df(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),      # shares "alpha beta gamma"
+            (2, "delta epsilon zeta eta"),      # no shared 3-gram
+            (3, "x y"),                          # too short for a 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = _df(spark, [(99, "zzz alpha beta gamma qqq")], "doc_id long, text string")
+    got = {r["doc_id"]: r["contaminated"] for r in decontaminate(docs, bench, n=3).collect()}
+    assert got == {1: True, 2: False, 3: False}
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    docs = _df(spark, [(1, "a b c d")], "doc_id long, text string")
+    bench = _df(spark, [(9, "a b c")], "doc_id long, text string")
+    plan = decontaminate(docs, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ------------------------------------------------------------ dedup_passages
+def _py_dedup_passages(rows, k=3):
+    """Independent reference: global first-occurrence passage dedup."""
+    passages = []  # (doc_id, pos, passage)
+    for doc_id, text in rows:
+        w = text.split()
+        for pos, i in enumerate(range(0, len(w), k)):
+            passages.append((doc_id, pos, " ".join(w[i : i + k])))
+    first = {}
+    for doc_id, pos, p in sorted(passages):
+        first.setdefault(p, (doc_id, pos))
+    out = {}
+    for doc_id, text in rows:
+        kept = [p for d, pos, p in sorted(passages) if d == doc_id and first[p] == (d, pos)]
+        total = len([1 for d, _, _ in passages if d == doc_id])
+        out[doc_id] = (" ".join(kept), total, len(kept))
+    return out
+
+
+def test_dedup_passages_matches_python_reference(spark):
+    rows = [
+        (1, "a b c d e f"),            # passages: "a b c", "d e f"
+        (2, "a b c x y z"),            # "a b c" duplicates doc 1 pos 0
+        (3, "d e f d e f"),            # first "d e f" loses to doc1 pos1; second loses too
+        (4, "solo"),                    # single short passage
+    ]
+    expected = _py_dedup_passages(rows, k=3)
+    docs = _df(spark, rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_passages"], r["n_kept"])
+        for r in dedup_passages(docs, passage_words=3).collect()
+    }
+    assert got == expected
+    # doc 3 must be fully emptied: both its passages duplicate doc 1's
+    assert got[3] == ("", 2, 0)
+
+
+def test_dedup_passages_order_preserved_within_doc(spark):
+    # surviving passages must be reassembled in original position order
+    rows = [(1, "p q r s t u v w x")]  # 3 passages, all unique
+    docs = _df(spark, rows, "doc_id long, text string")
+    (row,) = dedup_passages(docs, passage_words=3).collect()
+    assert row["clean_text"] == "p q r s t u v w x"
+
+
+# -------------------------------------------------------- repetition_signals
+def test_repetition_signals_values(spark):
+    docs = _df(
+        spark,
+        [(1, "spam spam spam ok"), (2, "ten fully distinct words compose this quite varied sample text")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    r1, r2 = got[1], got[2]
+    assert r1["n_words"] == 4 and r1["top_word_frac"] == pytest.approx(0.75)
+    # bigrams of doc1: "spam spam" x2, "spam ok" -> dup frac 1 - 2/3
+    assert r1["dup_bigram_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert not r1["keep"]
+    assert r2["top_word_frac"] == pytest.approx(0.1) and r2["dup_bigram_frac"] == 0.0
+    assert r2["keep"]
+
+
+def test_repetition_signals_single_word_doc(spark):
+    docs = _df(spark, [(1, "word")], "doc_id long, text string")
+    (r,) = repetition_signals(docs).collect()
+    assert r["n_words"] == 1 and r["dup_bigram_frac"] == 0.0
+    assert r["mean_word_len"] == pytest.approx(4.0)
+
+
+# ------------------------------------------------------------------ redact_pii
+def test_redact_pii_all_kinds(spark):
+    docs = _df(
+        spark,
+        [(1, "mail a.b+c@x-y.org call 555-123-4567 host 192.168.0.1 done")],
+        "doc_id long, text string",
+    )
+    ex = redact_pii("text")
+    (r,) = docs.select(*[v.alias(k) for k, v in ex.items()]).collect()
+    assert r["redacted"] == "mail <EMAIL> call <PHONE> host <IPV4> done"
+    assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (1, 1, 1)
+
+
+def test_redact_pii_email_wins_over_phone_local_part(spark):
+    # an email whose local part looks phone-ish must redact as ONE email
+    docs = _df(spark, [(1, "x 555-123-4567@mail.com y")], "doc_id long, text string")
+    ex = redact_pii("text")
+    (r,) = docs.select(*[v.alias(k) for k, v in ex.items()]).collect()
+    assert r["redacted"] == "x <EMAIL> y"
+    assert r["n_email"] == 1
+
+
+def test_redact_pii_no_pii_is_identity(spark):
+    docs = _df(spark, [(1, "nothing to see here 12345")], "doc_id long, text string")
+    ex = redact_pii("text")
+    (r,) = docs.select(*[v.alias(k) for k, v in ex.items()]).collect()
+    assert r["redacted"] == "nothing to see here 12345"
+    assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (0, 0, 0)
+
+
+# ------------------------------------------------------- stratified_sample
+def _py_bucket(key: str, buckets: int = 10_000) -> int:
+    return int(hashlib.sha256(key.encode()).hexdigest()[:8], 16) % buckets
+
+
+def test_sha_bucket_matches_hashlib(spark):
+    df = _df(spark, [(str(i),) for i in range(50)], "k string")
+    got = {r["k"]: r["b"] for r in df.select("k", sha_bucket("k").alias("b")).collect()}
+    assert got == {str(i): _py_bucket(str(i)) for i in range(50)}
+
+
+def test_stratified_sample_exact_membership(spark):
+    rows = [(i, "en" if i % 2 == 0 else "xx") for i in range(200)]
+    df = _df(spark, rows, "doc_id long, lang string")
+    kept = {r["doc_id"] for r in stratified_sample(
+        df, {"en": 0.3}, strata_col="lang", key_col="doc_id").collect()}
+    expected = {i for i, lang in rows if lang == "en" and _py_bucket(str(i)) < 3000}
+    assert kept == expected
+    assert all(i % 2 == 0 for i in kept)  # absent strata dropped
+
+
+def test_stratified_sample_is_partitioning_invariant(spark):
+    rows = [(i, "en") for i in range(100)]
+    df1 = _df(spark, rows, "doc_id long, lang string").repartition(1)
+    df8 = _df(spark, rows, "doc_id long, lang string").repartition(8)
+    k1 = sorted(r["doc_id"] for r in stratified_sample(
+        df1, {"en": 0.5}, strata_col="lang", key_col="doc_id").collect())
+    k8 = sorted(r["doc_id"] for r in stratified_sample(
+        df8, {"en": 0.5}, strata_col="lang", key_col="doc_id").collect())
+    assert k1 == k8 and 20 < len(k1) < 80
