@@ -921,6 +921,32 @@ def q_stratified_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_triangle_count(spark, sf):
+    """Triangle enumeration over the word-adjacency graph (nodes = words,
+    undirected edge = adjacency within a document): classic ordered
+    two-join algorithm, each (a<b<c) triangle emitted exactly once."""
+    from sema_spark.operators.graph import triangles
+
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    pairs = (
+        _docs(spark, sf)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("src"),
+                        F.element_at(w, i + 1).alias("dst"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+        .where(F.col("src") != F.col("dst"))
+    )
+    return triangles(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark, sf_dir):
@@ -994,6 +1020,7 @@ def _build_registry():
         "repetition_signals": q_repetition_signals,
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
+        "triangle_count": q_triangle_count,
     }
 
 
@@ -1862,5 +1889,16 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, lang from b
             where bucket < (case lang when 'en' then 0.5 when 'de' then 0.25
                                       when 'zh' then 0.1 else 0.0 end) * 10000
+        """,
+        "triangle_count": r"""
+            with toks as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
+                          from documents),
+            pairs as (select distinct least(w[i], w[i+1]) a, greatest(w[i], w[i+1]) b
+                      from toks, range(1, 100000) t(i)
+                      where i < len(w) and w[i] <> w[i+1])
+            select e1.a, e1.b, e2.b as c
+            from pairs e1
+            join pairs e2 on e1.b = e2.a
+            join pairs e3 on e3.a = e1.a and e3.b = e2.b
         """,
     }

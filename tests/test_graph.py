@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from sema_spark.operators.graph import degree_stats, pagerank
+from sema_spark.operators.graph import degree_stats, pagerank, triangle_stats, triangles
 
 EDGES = [
     ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
@@ -53,3 +53,49 @@ def test_degree_stats(spark, edges_df):
     assert got["a"] == (3, 1)
     assert got["e"] == (0, 1)
     assert got["d"] == (1, 0)
+
+
+def _py_triangles(edges):
+    """Independent reference: brute-force triangle enumeration."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    out = set()
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in und:
+                continue
+            for c in nodes[nodes.index(b) + 1:]:
+                if (b, c) in und and (a, c) in und:
+                    out.add((a, b, c))
+    return out
+
+
+def test_triangles_matches_bruteforce(spark):
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),        # triangle abc
+        ("c", "d"), ("d", "a"),                     # triangle acd
+        ("b", "a"),                                 # reverse duplicate
+        ("e", "e"),                                 # self loop: ignored
+        ("d", "e"),                                 # dangling edge
+        ("a", "b"),                                 # parallel duplicate
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r.a, r.b, r.c) for r in triangles(df).collect()}
+    assert got == _py_triangles(edges) == {("a", "b", "c"), ("a", "c", "d")}
+
+
+def test_triangles_each_emitted_once(spark):
+    # K4: 4 triangles, each exactly once despite 6 edges in both directions
+    nodes = ["w", "x", "y", "z"]
+    edges = [(u, v) for u in nodes for v in nodes if u != v]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    rows = triangles(df).collect()
+    assert len(rows) == 4 == len({(r.a, r.b, r.c) for r in rows})
+    assert all(r.a < r.b < r.c for r in rows)
+
+
+def test_triangle_stats_participation(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: r.n_triangles for r in triangle_stats(df).collect()}
+    assert got == {"a": 2, "b": 1, "c": 2, "d": 1}
