@@ -921,6 +921,30 @@ def q_stratified_sample(spark, sf):
     ).select("doc_id", "lang")
 
 
+def q_sequence_packing(spark, sf):
+    """Next-fit sequence packing into 256-token bins over 4 deterministic
+    sha shards — the non-associative fold runs per shard inside
+    applyInPandas; the oracle replays the same fold as a per-shard
+    recursive CTE."""
+    from sema_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf), capacity=256, n_shards=4)
+
+
+def q_weighted_interleave(spark, sf):
+    """Deterministic training-mix interleaving (stride scheduling) of
+    three sources at weights 1 / 0.5 / 0.25; vt is the virtual-time sort
+    key a consumer range-partitions on."""
+    from sema_spark.operators.curation import weighted_interleave
+
+    return weighted_interleave(
+        _docs(spark, sf),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        source_col="source",
+        id_col="doc_id",
+    )
+
+
 def q_triangle_count(spark, sf):
     """Triangle enumeration over the word-adjacency graph (nodes = words,
     undirected edge = adjacency within a document): classic ordered
@@ -929,7 +953,12 @@ def q_triangle_count(spark, sf):
 
     w = F.split(F.trim(F.col("text")), r"\s+")
     pairs = (
+        # spread the single-file scan before the (interpreted) HOF
+        # bigram explode — parquet below row-group size arrives as ONE
+        # split, which would serialize the per-doc work (at cluster
+        # scale the many-file corpus makes this a no-op)
         _docs(spark, sf)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(
             F.explode(
                 F.transform(
@@ -1021,6 +1050,8 @@ def _build_registry():
         "redact_pii": q_redact_pii,
         "stratified_sample": q_stratified_sample,
         "triangle_count": q_triangle_count,
+        "sequence_packing": q_sequence_packing,
+        "weighted_interleave": q_weighted_interleave,
     }
 
 
@@ -1913,6 +1944,52 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, lang from b
             where bucket < (case lang when 'en' then 0.5 when 'de' then 0.25
                                       when 'zh' then 0.1 else 0.0 end) * 10000
+        """,
+        "weighted_interleave": r"""
+            with b as (select doc_id, source,
+              cast(list_sum([cast(strpos('0123456789abcdef',
+                       substr(sha256(cast(doc_id as varchar)), i + 1, 1)) - 1 as bigint)
+                     << (4 * (7 - i)) for i in range(0, 8)]) as bigint) % 10000 as bucket,
+              (case source when 'src0' then 1.0 when 'src1' then 0.5
+                           when 'src2' then 0.25 end) as w
+              from documents
+              where source in ('src0', 'src1', 'src2')),
+            r as (select doc_id, source, w,
+                         cast(row_number() over (partition by source
+                                                 order by bucket, doc_id) as bigint)
+                           as rn_in_source
+                  from b)
+            select doc_id, source, rn_in_source,
+                   round(rn_in_source / w, 6) as vt
+            from r
+        """,
+        "sequence_packing": r"""
+            -- same next-fit fold as pack_sequences, replayed row-by-row
+            -- per shard with a recursive CTE (depth = largest shard)
+            with recursive base as (
+              select doc_id,
+                     cast(list_sum([cast(strpos('0123456789abcdef',
+                              substr(sha256(cast(doc_id as varchar)), i + 1, 1)) - 1 as bigint)
+                            << (4 * (7 - i)) for i in range(0, 8)]) as bigint)
+                       % 10000 % 4 as shard,
+                     cast(case when trim(text) = '' then 0
+                          else len(regexp_split_to_array(trim(text), '\s+')) end as bigint)
+                       as n_tokens
+              from documents),
+            ordered as (select *, row_number() over (partition by shard
+                                                     order by doc_id) as rn
+                        from base),
+            rec(shard, rn, doc_id, n_tokens, bin, fill) as (
+              select shard, rn, doc_id, n_tokens,
+                     cast(0 as bigint), n_tokens
+              from ordered where rn = 1
+              union all
+              select d.shard, d.rn, d.doc_id, d.n_tokens,
+                     case when r.fill + d.n_tokens > 256 then r.bin + 1 else r.bin end,
+                     case when r.fill + d.n_tokens > 256 then d.n_tokens
+                          else r.fill + d.n_tokens end
+              from rec r join ordered d on d.shard = r.shard and d.rn = r.rn + 1)
+            select doc_id, shard, bin as bin_idx, n_tokens from rec
         """,
         "triangle_count": r"""
             with toks as (select doc_id, regexp_split_to_array(trim(text), '\s+') w

@@ -46,6 +46,12 @@ BENCH_QUERIES = [
     "w1_chunker",
     "u1_encoder",
     "ngram_jaccard_pairs",
+    "decontaminate",
+    "dedup_passages",
+    "repetition_signals",
+    "stratified_sample",
+    "triangle_count",
+    "sequence_packing",
 ]
 
 # Standalone pinned throughput from tools/bench_scaling.py (best-of-4,

@@ -41,6 +41,8 @@ __all__ = [
     "redact_pii",
     "stratified_sample",
     "sha_bucket",
+    "pack_sequences",
+    "weighted_interleave",
 ]
 
 
@@ -75,9 +77,11 @@ def decontaminate(
       eval suites are MBs, so their distinct-gram set fits on every
       executor and the corpus never shuffles.
     * The corpus side is a narrow pass: split → explode grams (projected to
-      ``(id, gram)`` only) → broadcast LEFT SEMI join → distinct ids.  The
-      only shuffle is the final distinct over contaminated ids, which is
-      tiny (bounded by the corpus row count, heavily combiner-reduced).
+      ``(id, gram)`` only) → broadcast LEFT SEMI join → distinct ids.  Two
+      slim shuffles remain: the distinct over contaminated ids (combiner-
+      reduced, bounded by corpus rows) and the id-only flag join back to
+      the corpus (single bigint column; AQE broadcasts it when the
+      contaminated set is small, which is the common case).
     * Gram strings (not hashes) join so the result is collision-exact; the
       broadcast side is the small one so the string width doesn't matter.
     """
@@ -298,3 +302,100 @@ def stratified_sample(
     for s, f in fractions.items():
         frac = F.when(F.col(strata_col) == s, F.lit(float(f))).otherwise(frac)
     return df.where(sha_bucket(F.col(key_col), buckets) < frac * buckets)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    *,
+    capacity: int,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for pretraining batches: assign each document to
+    a fixed-token-capacity bin (next-fit over a deterministic order), so
+    downstream training reads near-full, fixed-budget concatenation
+    groups instead of padding per document.
+
+    Returns ``(id_col, shard, bin_idx, n_tokens)``.  Bin assignment is
+    next-fit: documents are visited in ``id`` order within a shard and a
+    new bin opens when the current one cannot fit the next document (a
+    document larger than ``capacity`` occupies a bin alone).
+
+    Why a Pandas UDF: next-fit is a **non-associative sequential fold**
+    (each bin decision depends on the running fill), which neither
+    aggregates nor window functions can express.  The distribution story
+    is sharding, not the fold: documents hash (sha256, engine-portable)
+    into ``n_shards`` independent packing groups, each group packs
+    sequentially inside one `applyInPandas` call, and shard count scales
+    with the cluster (at 100 TB: n_shards ≈ executors × cores, each
+    shard bounded).  Deterministic order => retries and re-runs produce
+    identical packings — auditable, unlike load-balancing packers.
+    """
+    import pandas as pd
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tokens = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(words))
+    base = docs.select(
+        F.col(id_col),
+        (sha_bucket(F.col(id_col)) % n_shards).alias("shard"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins = []
+        fill, b = 0, 0
+        for i, t in enumerate(pdf["n_tokens"]):
+            if i > 0 and fill + t > capacity:
+                b += 1
+                fill = 0
+            fill += int(t)
+            bins.append(b)
+        pdf["bin_idx"] = pd.Series(bins, dtype="int64")
+        return pdf[[id_col, "shard", "bin_idx", "n_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(
+        pack, f"{id_col} long, shard long, bin_idx long, n_tokens long"
+    )
+
+
+def weighted_interleave(
+    docs: DataFrame,
+    weights: dict[str, float],
+    *,
+    source_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic training-mix interleaving: order documents so that
+    sources appear in proportion to ``weights`` (stride scheduling — the
+    k-th document of a source sits at virtual time ``k / weight``, so a
+    weight-0.5 source appears half as often per unit of output).
+
+    Returns ``(id_col, source_col, rn_in_source, vt)`` where ``vt`` is
+    the virtual-time sort key.  Sources absent from ``weights`` are
+    dropped.  Within a source, documents are visited in sha256-bucket
+    order (then id) — a deterministic shuffle that breaks corpus-order
+    bias without RNG.
+
+    Scale: one shuffle (the per-source window).  Deliberately NO global
+    row_number — a total order would serialize through one partition; a
+    100 TB consumer instead ``repartitionByRange(vt)`` and sorts within
+    partitions, which reproduces the global interleaving shard-by-shard
+    without any single-point ordering step.
+    """
+    frac = F.lit(None).cast("double")
+    for s, wt in weights.items():
+        frac = F.when(F.col(source_col) == s, F.lit(float(wt))).otherwise(frac)
+    w = Window.partitionBy(source_col).orderBy(sha_bucket(F.col(id_col)), id_col)
+    return (
+        docs.where(frac.isNotNull())
+        .select(F.col(id_col), F.col(source_col), frac.alias("_w"))
+        .withColumn("rn_in_source", F.row_number().over(w).cast("bigint"))
+        .select(
+            id_col,
+            source_col,
+            "rn_in_source",
+            F.round(F.col("rn_in_source") / F.col("_w"), 6).alias("vt"),
+        )
+    )

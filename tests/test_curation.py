@@ -176,3 +176,94 @@ def test_stratified_sample_is_partitioning_invariant(spark):
     k8 = sorted(r["doc_id"] for r in stratified_sample(
         df8, {"en": 0.5}, strata_col="lang", key_col="doc_id").collect())
     assert k1 == k8 and 20 < len(k1) < 80
+
+
+# ---------------------------------------------------------- pack_sequences
+def _py_next_fit(rows, capacity, n_shards):
+    """Independent reference: per-shard next-fit packing in id order."""
+    out = {}
+    shards = {}
+    for doc_id, text in rows:
+        t = len(text.split()) if text.strip() else 0
+        shards.setdefault(_py_bucket(str(doc_id)) % n_shards, []).append((doc_id, t))
+    for shard, docs in shards.items():
+        fill, b = 0, 0
+        for i, (doc_id, t) in enumerate(sorted(docs)):
+            if i > 0 and fill + t > capacity:
+                b, fill = b + 1, 0
+            fill += t
+            out[doc_id] = (shard, b, t)
+    return out
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    from sema_spark.operators.curation import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (3 + (i * 7) % 11))) for i in range(40)]
+    rows.append((100, " ".join(["w"] * 50)))   # oversize doc: own bin
+    rows.append((101, ""))                      # empty doc: 0 tokens
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["shard"], r["bin_idx"], r["n_tokens"])
+        for r in pack_sequences(df, capacity=10, n_shards=3).collect()
+    }
+    assert got == _py_next_fit(rows, capacity=10, n_shards=3)
+
+
+def test_pack_sequences_respects_capacity(spark):
+    from sema_spark.operators.curation import pack_sequences
+
+    rows = [(i, " ".join(["w"] * 4)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, capacity=10, n_shards=2).collect()
+    fills = {}
+    for r in out:
+        fills[(r["shard"], r["bin_idx"])] = fills.get((r["shard"], r["bin_idx"]), 0) + r["n_tokens"]
+    # every multi-doc bin within capacity (4+4=8 <= 10, never 12)
+    assert all(v <= 10 for v in fills.values())
+    # and packing actually happened: bins hold 2 docs each
+    assert max(fills.values()) == 8
+
+
+def test_pack_sequences_partitioning_invariant(spark):
+    from sema_spark.operators.curation import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (2 + i % 5))) for i in range(60)]
+    a = spark.createDataFrame(rows, "doc_id long, text string").repartition(1)
+    b = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    ra = sorted(tuple(r) for r in pack_sequences(a, capacity=12, n_shards=4).collect())
+    rb = sorted(tuple(r) for r in pack_sequences(b, capacity=12, n_shards=4).collect())
+    assert ra == rb
+
+
+# ------------------------------------------------------ weighted_interleave
+def test_weighted_interleave_proportions(spark):
+    from sema_spark.operators.curation import weighted_interleave
+
+    rows = [(i, "a" if i < 40 else "b") for i in range(80)]  # 40 of each
+    df = _df(spark, rows, "doc_id long, source string")
+    out = weighted_interleave(df, {"a": 1.0, "b": 0.5}, source_col="source", id_col="doc_id")
+    got = sorted((r["vt"], r["source"], r["doc_id"]) for r in out.collect())
+    # in any prefix of the vt order, 'a' appears ~2x as often as 'b'
+    prefix = [s for _, s, _ in got[:30]]
+    assert prefix.count("a") == 20 and prefix.count("b") == 10
+    # k-th doc of source s sits at vt = k / weight
+    a_vts = [vt for vt, s, _ in got if s == "a"]
+    assert a_vts[:3] == [1.0, 2.0, 3.0]
+    b_vts = [vt for vt, s, _ in got if s == "b"]
+    assert b_vts[:3] == [2.0, 4.0, 6.0]
+
+
+def test_weighted_interleave_drops_unweighted_and_is_deterministic(spark):
+    from sema_spark.operators.curation import weighted_interleave
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(60)]
+    df1 = _df(spark, rows, "doc_id long, source string").repartition(1)
+    df7 = _df(spark, rows, "doc_id long, source string").repartition(7)
+    o1 = sorted(tuple(r) for r in weighted_interleave(
+        df1, {"a": 1.0, "b": 0.5}, source_col="source", id_col="doc_id").collect())
+    o7 = sorted(tuple(r) for r in weighted_interleave(
+        df7, {"a": 1.0, "b": 0.5}, source_col="source", id_col="doc_id").collect())
+    assert o1 == o7                       # partitioning invariant
+    assert all(s != "c" for _, s, _, _ in o1)  # unweighted source dropped
+    assert len(o1) == 40
