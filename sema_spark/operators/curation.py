@@ -46,6 +46,16 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition small-file inputs before interpreted-HOF phases
+    (``F.transform`` lambdas are not codegen'd): a parquet file below
+    row-group size arrives as ONE split, serializing per-doc work.  On a
+    many-file cluster corpus the scan already splits and this is one
+    extra narrow-ish exchange of the slim projected columns."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * 2)
+
+
 def _word_ngrams(words: Column, n: int) -> Column:
     """Array of space-joined word n-grams (empty if fewer than n words)."""
     cnt = F.size(words) - (n - 1)
@@ -90,7 +100,7 @@ def decontaminate(
         benchmark.select(F.explode(_word_ngrams(words(F.col(text_col)), n)).alias("gram"))
         .distinct()
     )
-    doc_grams = docs.select(
+    doc_grams = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col), F.explode(_word_ngrams(words(F.col(text_col)), n)).alias("gram")
     )
     contaminated = (
@@ -132,7 +142,7 @@ def dedup_passages(
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_pass = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
-    passages = docs.select(
+    passages = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.posexplode(
             F.transform(
@@ -194,7 +204,9 @@ def repetition_signals(
     Python.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = docs.select(F.col(id_col).alias("_id"), words.alias("_w"))
+    base = _spread(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"), words.alias("_w")
+    )
 
     word_rows = base.select("_id", F.explode("_w").alias("_word"))
     word_stats = (
