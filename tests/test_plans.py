@@ -125,3 +125,33 @@ def test_bm25_plan_has_no_posting_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     shuffles = plan.count("Exchange hashpartitioning")
     assert shuffles == 0, f"unexpected hash shuffle in BM25 plan:\n{plan}"
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    """Deterministic sampling must stay a narrow filter: no Exchange of
+    any kind, no Python eval — a pure scan+filter at any scale."""
+    plan = _plan(E.q_stratified_sample(spark, SF))
+    assert "Exchange" not in plan, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_sequence_packing_single_group_shuffle(spark):
+    """Packing shuffles ONCE (by shard, for applyInPandas); token counts
+    are computed JVM-side before the fold so the Python stage receives
+    three slim columns, never text."""
+    plan = _plan(E.q_sequence_packing(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "text" not in plan.split("FlatMapGroupsInPandas", 1)[1].split("\n", 3)[0]
+
+
+def test_passage_dedup_shuffles_hash_not_text(spark):
+    """The winner-selection aggregate must key on the 128-bit sha prefix
+    (_h), not the passage text."""
+    plan = _plan(E.q_dedup_passages(spark, SF))
+    import re
+    keys = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert keys, plan
+    assert any(k.startswith("_h") for k in keys), keys
+    assert not any(k.startswith("_passage") for k in keys), keys
