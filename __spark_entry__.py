@@ -945,6 +945,39 @@ def q_weighted_interleave(spark, sf):
     )
 
 
+def q_curation_v2(spark, sf):
+    """End-to-end curation composition over the round-3 operators:
+    decontaminate (drop) → repetition-quality keep → corpus-wide passage
+    dedup (drop fully-emptied docs, keep cleaned text) → next-fit
+    sequence packing of the cleaned text.  The oracle replays the whole
+    chain in one SQL statement — composition plumbing, not just each
+    stage, is what this gates."""
+    from sema_spark.operators.curation import (
+        decontaminate,
+        dedup_passages,
+        pack_sequences,
+        repetition_signals,
+    )
+
+    docs = _docs(spark, sf)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    clean_ids = (
+        decontaminate(train, bench, n=3)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    train = train.join(clean_ids, "doc_id", "left_semi")
+    keep_ids = repetition_signals(train).where("keep").select("doc_id")
+    train = train.join(keep_ids, "doc_id", "left_semi")
+    cleaned = (
+        dedup_passages(train, passage_words=10)
+        .where(F.col("n_kept") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    return pack_sequences(cleaned, capacity=256, n_shards=4)
+
+
 def q_triangle_count(spark, sf):
     """Triangle enumeration over the word-adjacency graph (nodes = words,
     undirected edge = adjacency within a document): classic ordered
@@ -1052,6 +1085,7 @@ def _build_registry():
         "triangle_count": q_triangle_count,
         "sequence_packing": q_sequence_packing,
         "weighted_interleave": q_weighted_interleave,
+        "curation_v2": q_curation_v2,
     }
 
 
@@ -1944,6 +1978,76 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, lang from b
             where bucket < (case lang when 'en' then 0.5 when 'de' then 0.25
                                       when 'zh' then 0.1 else 0.0 end) * 10000
+        """,
+        "curation_v2": r"""
+            -- full replay of q_curation_v2: decontaminate (n=3, bench =
+            -- doc_id%97==0) -> repetition keep -> passage dedup (10-word,
+            -- scope = surviving docs) -> next-fit packing of clean text
+            with recursive
+            toks0 as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
+                      from documents),
+            grams as (select doc_id,
+                             unnest([array_to_string(w[i:i+2], ' ')
+                                     for i in range(1, len(w) - 1)]) as g
+                      from toks0 where len(w) >= 3),
+            benchg as (select distinct g from grams where doc_id % 97 = 0),
+            cont as (select distinct doc_id from grams
+                     where doc_id % 97 <> 0 and g in (select g from benchg)),
+            train as (select * from documents
+                      where doc_id % 97 <> 0
+                        and doc_id not in (select doc_id from cont)),
+            toks1 as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
+                      from train),
+            wrows as (select doc_id, unnest(w) as word from toks1),
+            wc as (select doc_id, word, count(*) as c from wrows group by 1, 2),
+            ws as (select doc_id,
+                          cast(max(c) as double) / cast(sum(c) as double) as twf
+                   from wc group by 1),
+            big as (select doc_id,
+                           unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) as bg
+                    from toks1 where len(w) >= 2),
+            bs as (select doc_id,
+                          1.0 - cast(count(distinct bg) as double)
+                              / cast(count(*) as double) as dbf
+                   from big group by 1),
+            keptq as (select ws.doc_id from ws left join bs on ws.doc_id = bs.doc_id
+                      where ws.twf <= 0.12 and coalesce(bs.dbf, 0.0) <= 0.05),
+            survivors as (select t.doc_id, t.text from train t
+                          where t.doc_id in (select doc_id from keptq)),
+            toks2 as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
+                      from survivors),
+            p as (select doc_id, (i - 1) // 10 as pos,
+                         array_to_string(w[i:i+9], ' ') as passage
+                  from toks2, range(1, 1000000) t(i)
+                  where i <= len(w) and (i - 1) % 10 = 0),
+            keptp as (select doc_id, pos, passage,
+                             row_number() over (partition by passage
+                                                order by doc_id, pos) as rn
+                      from p),
+            cleaned as (select doc_id,
+                               string_agg(passage, ' ' order by pos) as text
+                        from keptp where rn = 1 group by 1),
+            base as (select doc_id,
+                            cast(list_sum([cast(strpos('0123456789abcdef',
+                                     substr(sha256(cast(doc_id as varchar)), i + 1, 1)) - 1
+                                   as bigint) << (4 * (7 - i)) for i in range(0, 8)])
+                              as bigint) % 10000 % 4 as shard,
+                            cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint)
+                              as n_tokens
+                     from cleaned),
+            ordered as (select *, row_number() over (partition by shard
+                                                     order by doc_id) as rn
+                        from base),
+            rec(shard, rn, doc_id, n_tokens, bin, fill) as (
+              select shard, rn, doc_id, n_tokens, cast(0 as bigint), n_tokens
+              from ordered where rn = 1
+              union all
+              select d.shard, d.rn, d.doc_id, d.n_tokens,
+                     case when r.fill + d.n_tokens > 256 then r.bin + 1 else r.bin end,
+                     case when r.fill + d.n_tokens > 256 then d.n_tokens
+                          else r.fill + d.n_tokens end
+              from rec r join ordered d on d.shard = r.shard and d.rn = r.rn + 1)
+            select doc_id, shard, bin as bin_idx, n_tokens from rec
         """,
         "weighted_interleave": r"""
             with b as (select doc_id, source,
