@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "triangle_count",
     "sequence_packing",
+    "curation_v2",
 ]
 
 # Standalone pinned throughput from tools/bench_scaling.py (best-of-4,
