@@ -176,6 +176,11 @@ here.
   maxPartitionBytes to 3 splits/core.  Compare bench rounds against
   each other and against `triples_per_sec_pinned`, reading
   `kg_steal_pct`/`kg_runs_sec` for contention context.
+* `bench_total` is NOT comparable across rounds when the query set
+  grows: round 3 added 8 queries (curation/graph/packing family), so
+  compare per-query times; the round-2 subset improved or held at
+  round 3 (e.g. decontaminate 3.57->0.82s after _spread, tpch_q1
+  1.22->0.95s).
 
 ## Why the job scales
 
