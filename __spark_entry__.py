@@ -753,6 +753,24 @@ def q_kg_degree_hist(spark, sf):
     )
 
 
+def q_kg_two_hop(spark, sf):
+    """KG neighborhood query: min-distance 2-hop BFS from the
+    highest-out-degree node of the canonical edge set (deterministic
+    tie-break on node id; no driver-side collect); oracle = the same
+    traversal over the construction-time expected edges."""
+    from sema_spark.operators.graph import k_hop
+
+    edges = q_kg_pipeline_edges(spark, sf).select("src", "dst").distinct()
+    seeds = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "src")
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    return k_hop(edges, seeds, k=2)
+
+
 def q_kg_pagerank(spark, sf):
     """PageRank over the canonical KG edges (iterative DataFrame power
     iteration).  Oracle: an independent numpy power iteration over the
@@ -1073,6 +1091,7 @@ def _build_registry():
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "kg_pipeline_edges": q_kg_pipeline_edges,
         "kg_degree_hist": q_kg_degree_hist,
+        "kg_two_hop": q_kg_two_hop,
         "kg_pagerank": q_kg_pagerank,
         "semantic_search": q_semantic_search,
         "multimodal_features": q_multimodal_features,
@@ -1732,6 +1751,20 @@ def oracle_sql() -> dict[str, str]:
               select src, count(*) as out_degree
               from read_parquet('{KG_EXPECTED_DIR}/edges.parquet') group by src)
             select out_degree, count(*) as n_nodes from deg group by out_degree
+        """,
+        "kg_two_hop": f"""
+            with e as (select distinct src, dst
+                       from read_parquet('{KG_EXPECTED_DIR}/edges.parquet')),
+            s as (select src as node from (
+                    select src, count(*) as c from e group by src
+                    order by c desc, src limit 1)),
+            h1 as (select distinct e.dst as node from e join s on e.src = s.node),
+            h2 as (select distinct e.dst as node from e join h1 on e.src = h1.node)
+            select node, cast(min(dist) as bigint) as dist from (
+              select node, 0 as dist from s
+              union all select node, 1 from h1
+              union all select node, 2 from h2)
+            group by node
         """,
         "multimodal_features": """
             -- full replication of the deterministic decode stand-in:

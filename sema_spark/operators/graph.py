@@ -135,3 +135,39 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .union(t.select(F.col("c").alias("id")))
     )
     return verts.groupBy("id").agg(F.count("*").alias("n_triangles"))
+
+
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Min-distance BFS frontier: every node reachable from ``seeds``
+    (a DataFrame with column ``node``) in at most ``k`` directed hops,
+    as ``(node, dist)`` with the minimum distance.
+
+    One equi-join + distinct per hop (the frontier is joined against the
+    edge list, then deduplicated against everything seen).  ``k`` is a
+    small constant for neighborhood queries, so the loop unrolls into a
+    fixed plan; each round's frontier is materialized to stop Catalyst
+    re-deriving prior hops (same discipline as pagerank).  At 100 TB the
+    edge join shuffles on src each hop — bucketing the edge table on src
+    amortizes that across hops and across queries.
+    """
+    seen = seeds.select(F.col("node"), F.lit(0).cast("bigint").alias("dist"))
+    frontier = seen
+    for hop in range(1, k + 1):
+        nxt = (
+            edges.join(
+                frontier.withColumnRenamed("node", src).select(src),
+                src,
+            )
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(hop).cast("bigint"))
+        )
+        seen = seen.union(nxt)
+        frontier = materialize(nxt)
+    return seen.groupBy("node").agg(F.min("dist").alias("dist"))

@@ -99,3 +99,27 @@ def test_triangle_stats_participation(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r.id: r.n_triangles for r in triangle_stats(df).collect()}
     assert got == {"a": 2, "b": 1, "c": 2, "d": 1}
+
+
+def test_k_hop_min_distance(spark):
+    # chain a->b->c->d plus shortcut a->c: dist(c) must be 1, not 2
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    from sema_spark.operators.graph import k_hop
+
+    got = {r.node: r.dist for r in k_hop(df, seeds, k=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # k=1 must not reach d
+    got1 = {r.node: r.dist for r in k_hop(df, seeds, k=1).collect()}
+    assert got1 == {"a": 0, "b": 1, "c": 1}
+
+
+def test_k_hop_cycle_terminates_with_min_dist(spark):
+    edges = [("x", "y"), ("y", "x"), ("y", "z")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("x",)], "node string")
+    from sema_spark.operators.graph import k_hop
+
+    got = {r.node: r.dist for r in k_hop(df, seeds, k=3).collect()}
+    assert got == {"x": 0, "y": 1, "z": 2}
