@@ -771,6 +771,16 @@ def q_kg_two_hop(spark, sf):
     return k_hop(edges, seeds, k=2)
 
 
+def q_kg_kcore(spark, sf):
+    """3-core of the pipeline's canonical edge graph (iterative peeling);
+    oracle = an independent pure-Python peeler over the expected edges,
+    materialized as kcore3.parquet at construction time."""
+    from sema_spark.operators.graph import k_core
+
+    edges = q_kg_pipeline_edges(spark, sf).select("src", "dst")
+    return k_core(edges, k=3)
+
+
 def q_kg_pagerank(spark, sf):
     """PageRank over the canonical KG edges (iterative DataFrame power
     iteration).  Oracle: an independent numpy power iteration over the
@@ -1092,6 +1102,7 @@ def _build_registry():
         "kg_pipeline_edges": q_kg_pipeline_edges,
         "kg_degree_hist": q_kg_degree_hist,
         "kg_two_hop": q_kg_two_hop,
+        "kg_kcore": q_kg_kcore,
         "kg_pagerank": q_kg_pagerank,
         "semantic_search": q_semantic_search,
         "multimodal_features": q_multimodal_features,
@@ -1751,6 +1762,9 @@ def oracle_sql() -> dict[str, str]:
               select src, count(*) as out_degree
               from read_parquet('{KG_EXPECTED_DIR}/edges.parquet') group by src)
             select out_degree, count(*) as n_nodes from deg group by out_degree
+        """,
+        "kg_kcore": f"""
+            select id from read_parquet('{KG_EXPECTED_DIR}/kcore3.parquet')
         """,
         "kg_two_hop": f"""
             with e as (select distinct src, dst

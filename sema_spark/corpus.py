@@ -386,6 +386,30 @@ def expected_pagerank(
     return {v: float(rank[ix[v]]) for v in nodes}
 
 
+def expected_kcore(scale: str = "xs", k: int = 3) -> set[str]:
+    """Independent pure-Python k-core: iteratively peel nodes of
+    undirected degree < k from the expected edge set (self-loops and
+    direction dropped, parallel edges collapsed — the same normalization
+    operators/graph.k_core applies).  Driver oracle for ``kg_kcore``."""
+    import collections
+
+    und = {tuple(sorted((s, d))) for s, _, d in expected_edges(scale) if s != d}
+    adj: dict[str, set[str]] = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for node in list(adj):
+            if len(adj[node]) < k:
+                for nb in adj[node]:
+                    adj[nb].discard(node)
+                del adj[node]
+                changed = True
+    return set(adj)
+
+
 def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
     """Materialize the construction-time expected triple + edge sets —
     plus the numpy pagerank over those edges — as parquet (pyarrow, no
@@ -413,6 +437,9 @@ def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
 
     write("triples", ("subj", "pred", "obj"), triples)
     write("edges", ("src", "pred", "dst"), expected_edges(scale))
+    write_table(
+        "kcore3", pa.table({"id": sorted(expected_kcore(scale, k=3))})
+    )
     pr = expected_pagerank(scale, iterations=5)
     write_table(
         "pagerank",

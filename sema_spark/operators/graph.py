@@ -171,3 +171,50 @@ def k_hop(
         seen = seen.union(nxt)
         frontier = materialize(nxt)
     return seen.groupBy("node").agg(F.min("dist").alias("dist"))
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph where every vertex has
+    undirected degree >= k), as a one-column ``(id)`` DataFrame.
+
+    Iterative peeling: each round computes degrees, drops vertices below
+    ``k`` AND every edge touching them, and stops when no vertex was
+    dropped.  The round count is bounded by the graph's degeneracy-peel
+    depth, not the vertex count — small in practice (sparse graphs peel
+    in a handful of rounds).  Per round: one degree aggregation + two
+    slim anti-joins on vertex ids; the shrinking edge list is
+    materialized so Catalyst's plan doesn't grow with rounds (pagerank /
+    connected-components discipline).  The convergence check is one
+    driver-side count of the dropped set — the standard iterative-
+    algorithm pattern, not a data collect.
+    """
+    sym = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = materialize(sym.select("a", "b").union(sym.select(F.col("b"), F.col("a"))))
+    for _ in range(max_rounds):
+        weak = (
+            sym.groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") < k)
+            .select("a")
+        )
+        if weak.isEmpty():
+            break
+        sym = materialize(
+            sym.join(weak, "a", "left_anti")
+            .join(weak.withColumnRenamed("a", "b"), "b", "left_anti")
+            .select("a", "b")
+        )
+    return sym.select(F.col("a").alias("id")).distinct()

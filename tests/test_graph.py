@@ -123,3 +123,47 @@ def test_k_hop_cycle_terminates_with_min_dist(spark):
 
     got = {r.node: r.dist for r in k_hop(df, seeds, k=3).collect()}
     assert got == {"x": 0, "y": 1, "z": 2}
+
+
+def _py_kcore(edges, k):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return set(adj)
+
+
+def test_k_core_matches_python_peel(spark):
+    # K4 (a 3-core) with a pendant chain that must peel away in cascade
+    nodes = ["a", "b", "c", "d"]
+    edges = [(u, v) for u in nodes for v in nodes if u < v]
+    edges += [("d", "e"), ("e", "f"), ("f", "g")]  # chain peels: g,f,e
+    from sema_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for k in (2, 3, 4):
+        got = {r.id for r in k_core(df, k=k).collect()}
+        assert got == _py_kcore(edges, k), k
+    # the 3-core is exactly K4; the 4-core is empty
+    assert {r.id for r in k_core(df, k=3).collect()} == {"a", "b", "c", "d"}
+    assert k_core(df, k=4).count() == 0
+
+
+def test_k_core_cascade_requires_iteration(spark):
+    # triangle + tail x-y: y peels first (deg 1), THEN x (deg drops to 2 -> still 2)
+    edges = [("p", "q"), ("q", "r"), ("r", "p"), ("p", "x"), ("x", "y")]
+    from sema_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id for r in k_core(df, k=2).collect()}
+    assert got == {"p", "q", "r"} == _py_kcore(edges, 2)
