@@ -1012,14 +1012,13 @@ def q_triangle_count(spark, sf):
     two-join algorithm, each (a<b<c) triangle emitted exactly once."""
     from sema_spark.operators.graph import triangles
 
+    from sema_spark.operators.curation import _spread
+
     w = F.split(F.trim(F.col("text")), r"\s+")
     pairs = (
-        # spread the single-file scan before the (interpreted) HOF
-        # bigram explode — parquet below row-group size arrives as ONE
-        # split, which would serialize the per-doc work (at cluster
-        # scale the many-file corpus makes this a no-op)
-        _docs(spark, sf)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # one spread heuristic for every interpreted-HOF phase — see
+        # curation._spread (no-op when the scan is already split)
+        _spread(_docs(spark, sf))
         .select(
             F.explode(
                 F.transform(
@@ -1955,10 +1954,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_passages": r"""
             with toks as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
                           from documents),
+            -- unnest(range(..)) is cap-free: range() as a LIST function
+            -- accepts column bounds (the table-function form does not)
             p as (select doc_id, (i - 1) // 10 as pos,
                          array_to_string(w[i:i+9], ' ') as passage
-                  from toks, range(1, 1000000) t(i)
-                  where i <= len(w) and (i - 1) % 10 = 0),
+                  from (select doc_id, w, unnest(range(1, len(w) + 1)) as i
+                        from toks)
+                  where (i - 1) % 10 = 0),
             kept as (select doc_id, pos, passage,
                             row_number() over (partition by passage
                                                order by doc_id, pos) as rn
@@ -1998,23 +2000,32 @@ def oracle_sql() -> dict[str, str]:
             from ws left join bs on ws.doc_id = bs.doc_id
         """,
         "redact_pii": r"""
+            -- counts on the progressively-redacted text, mirroring
+            -- redact_pii: n_<kind> == tokens actually substituted
             with aug as (select doc_id,
               text || ' contact user' || doc_id || '@mail.example.com or 555-012-'
                    || lpad(cast(doc_id % 10000 as varchar), 4, '0')
                    || ' ip 10.0.' || (doc_id % 256) || '.7' as t
-              from documents)
-            select doc_id,
-              regexp_replace(regexp_replace(regexp_replace(t,
-                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') as redacted,
+              from documents),
+            r1 as (select doc_id,
               cast(len(regexp_extract_all(t,
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint) as n_email,
-              cast(len(regexp_extract_all(t,
+              regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') as t1
+              from aug),
+            r2 as (select doc_id, n_email,
+              cast(len(regexp_extract_all(t1,
                 '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) as bigint) as n_phone,
-              cast(len(regexp_extract_all(t,
+              regexp_replace(t1,
+                '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') as t2
+              from r1)
+            select doc_id,
+              regexp_replace(t2,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') as redacted,
+              n_email, n_phone,
+              cast(len(regexp_extract_all(t2,
                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as bigint) as n_ipv4
-            from aug
+            from r2
         """,
         "stratified_sample": r"""
             with b as (select doc_id, lang,
@@ -2065,8 +2076,9 @@ def oracle_sql() -> dict[str, str]:
                       from survivors),
             p as (select doc_id, (i - 1) // 10 as pos,
                          array_to_string(w[i:i+9], ' ') as passage
-                  from toks2, range(1, 1000000) t(i)
-                  where i <= len(w) and (i - 1) % 10 = 0),
+                  from (select doc_id, w, unnest(range(1, len(w) + 1)) as i
+                        from toks2)
+                  where (i - 1) % 10 = 0),
             keptp as (select doc_id, pos, passage,
                              row_number() over (partition by passage
                                                 order by doc_id, pos) as rn
@@ -2146,8 +2158,8 @@ def oracle_sql() -> dict[str, str]:
             with toks as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
                           from documents),
             pairs as (select distinct least(w[i], w[i+1]) a, greatest(w[i], w[i+1]) b
-                      from toks, range(1, 100000) t(i)
-                      where i < len(w) and w[i] <> w[i+1])
+                      from (select w, unnest(range(1, len(w))) as i from toks)
+                      where w[i] <> w[i+1])
             select e1.a, e1.b, e2.b as c
             from pairs e1
             join pairs e2 on e1.b = e2.a

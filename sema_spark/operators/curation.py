@@ -47,12 +47,18 @@ __all__ = [
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition small-file inputs before interpreted-HOF phases
+    """Repartition under-split inputs before interpreted-HOF phases
     (``F.transform`` lambdas are not codegen'd): a parquet file below
-    row-group size arrives as ONE split, serializing per-doc work.  On a
-    many-file cluster corpus the scan already splits and this is one
-    extra narrow-ish exchange of the slim projected columns."""
+    row-group size arrives as ONE split, serializing per-doc work.
+
+    Conditional: a NO-OP whenever the scan already has at least
+    defaultParallelism splits — on a many-file cluster corpus no
+    exchange is added, so operator docstrings' shuffle counts exclude
+    it.  Only genuinely under-split inputs pay the one corpus-width
+    round-robin exchange, where it is always worth it."""
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism * 2)
 
 
@@ -91,7 +97,9 @@ def decontaminate(
       slim shuffles remain: the distinct over contaminated ids (combiner-
       reduced, bounded by corpus rows) and the id-only flag join back to
       the corpus (single bigint column; AQE broadcasts it when the
-      contaminated set is small, which is the common case).
+      contaminated set is small, which is the common case).  (_spread
+      adds one round-robin exchange ONLY for under-split small-file
+      inputs — a no-op on a properly-split cluster scan.)
     * Gram strings (not hashes) join so the result is collision-exact; the
       broadcast side is the small one so the string width doesn't matter.
     """
@@ -130,15 +138,15 @@ def dedup_passages(
 
     Returns ``(id_col, clean_text, n_passages, n_kept)``.
 
-    Scale design: the winner-per-passage aggregation shuffles a **128-bit
-    sha256 prefix** of the passage, never the passage text — 16 bytes/row
-    where the raw passage is ~60-120 bytes, and collision-safe at 10^12
-    passages (a 64-bit hash is not: ~3·10^4 expected collisions at that
-    count).  Two shuffles total, both forced by the semantics: winner
-    selection keyed on the passage hash (`min(struct(id,pos))`, partial-agg
-    friendly), and document reassembly keyed on id.  The keeper set joins
-    back to the exploded passages on ``(hash, id, pos)`` — an equi-join AQE
-    can plan as broadcast when the keeper side is small.
+    Scale design: exactly two shuffles, both forced by the semantics —
+    winner selection (a window rank partitioned by a **128-bit sha256
+    prefix** of the passage: collision-safe at 10^12 passages where a
+    64-bit hash is not, ~3·10^4 expected collisions at that count) and
+    document reassembly keyed on id.  The passage subtree is evaluated
+    ONCE: the window replaces the min-struct + semi-join formulation
+    (which planned the explode three times and re-shuffled the full
+    rows anyway), and per-document passage totals come arithmetically
+    from the word count — no second explode.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_pass = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
@@ -154,12 +162,15 @@ def dedup_passages(
         ).alias("_pos", "_passage"),
     ).withColumn("_h", F.substring(F.sha2(F.col("_passage"), 256), 1, 32))
 
-    keepers = passages.groupBy("_h").agg(
-        F.min(F.struct("_id", "_pos")).alias("_first")
-    ).select("_h", F.col("_first._id").alias("_id"), F.col("_first._pos").alias("_pos"))
-
-    kept = passages.join(keepers, ["_h", "_id", "_pos"], "left_semi")
-    totals = passages.groupBy("_id").agg(F.count("*").alias("n_passages"))
+    win = Window.partitionBy("_h").orderBy("_id", "_pos")
+    kept = (
+        passages.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    totals = docs.select(
+        F.col(id_col).alias("_id"), n_pass.cast("bigint").alias("n_passages")
+    )
     return (
         kept.groupBy("_id")
         .agg(
@@ -266,17 +277,18 @@ def redact_pii(col: Column | str) -> dict[str, Column]:
     """Redact emails / phones / IPv4s, returning expression dict
     ``{"redacted": .., "n_email": .., "n_phone": .., "n_ipv4": ..}``.
 
-    Counts are measured on the original text; redaction applies the three
-    patterns in PII_PATTERNS order (email first — see comment above).
+    Each count is measured on the text AFTER the earlier patterns were
+    redacted, so ``n_<kind>`` equals the number of ``<KIND>`` tokens
+    actually substituted — a phone-shaped email local part counts as one
+    email and zero phones, never both.  Redaction applies the patterns
+    in PII_PATTERNS order (email first — see comment above).
     Pure codegen expressions: zero shuffles, zero Python.
     """
     col = F.col(col) if isinstance(col, str) else col
-    counts = {
-        f"n_{k}": F.size(F.regexp_extract_all(col, F.lit(p), F.lit(0)))
-        for k, p in PII_PATTERNS.items()
-    }
+    counts: dict[str, Column] = {}
     red = col
     for k, p in PII_PATTERNS.items():
+        counts[f"n_{k}"] = F.size(F.regexp_extract_all(red, F.lit(p), F.lit(0)))
         red = F.regexp_replace(red, p, f"<{k.upper()}>")
     return {"redacted": red, **counts}
 
@@ -385,7 +397,8 @@ def weighted_interleave(
     weight-0.5 source appears half as often per unit of output).
 
     Returns ``(id_col, source_col, rn_in_source, vt)`` where ``vt`` is
-    the virtual-time sort key.  Sources absent from ``weights`` are
+    the virtual-time sort key.  Sources absent from ``weights`` — and
+    sources with weight <= 0, the natural way to express "exclude" — are
     dropped.  Within a source, documents are visited in sha256-bucket
     order (then id) — a deterministic shuffle that breaks corpus-order
     bias without RNG.
@@ -401,7 +414,9 @@ def weighted_interleave(
         frac = F.when(F.col(source_col) == s, F.lit(float(wt))).otherwise(frac)
     w = Window.partitionBy(source_col).orderBy(sha_bucket(F.col(id_col)), id_col)
     return (
-        docs.where(frac.isNotNull())
+        # weight <= 0 must drop, not divide: rn / 0.0 is null under
+        # non-ANSI division and an error under ANSI mode
+        docs.where(frac.isNotNull() & (frac > 0))
         .select(F.col(id_col), F.col(source_col), frac.alias("_w"))
         .withColumn("rn_in_source", F.row_number().over(w).cast("bigint"))
         .select(

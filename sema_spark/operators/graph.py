@@ -166,10 +166,15 @@ def k_hop(
             )
             .select(F.col(dst).alias("node"))
             .distinct()
+            # settled nodes leave the frontier: re-expanding a node
+            # already reached at a smaller distance would re-join its
+            # whole adjacency every remaining hop (hub graphs explode);
+            # min-dist semantics are unchanged — first reach wins
+            .join(seen.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop).cast("bigint"))
         )
-        seen = seen.union(nxt)
         frontier = materialize(nxt)
+        seen = seen.union(frontier)
     return seen.groupBy("node").agg(F.min("dist").alias("dist"))
 
 
@@ -203,6 +208,7 @@ def k_core(
         .distinct()
     )
     sym = materialize(sym.select("a", "b").union(sym.select(F.col("b"), F.col("a"))))
+    converged = False
     for _ in range(max_rounds):
         weak = (
             sym.groupBy("a")
@@ -211,10 +217,18 @@ def k_core(
             .select("a")
         )
         if weak.isEmpty():
+            converged = True
             break
         sym = materialize(
             sym.join(weak, "a", "left_anti")
             .join(weak.withColumnRenamed("a", "b"), "b", "left_anti")
             .select("a", "b")
+        )
+    if not converged:
+        # loop exhaustion must not masquerade as convergence: an
+        # under-peeled edge set is a silently wrong k-core
+        raise RuntimeError(
+            f"k_core did not converge within {max_rounds} rounds; "
+            "raise max_rounds (peel depth exceeds the bound)"
         )
     return sym.select(F.col("a").alias("id")).distinct()

@@ -201,5 +201,7 @@ def sessionize_stream_tws(
         statefulProcessor=SessionProcessor(),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        # state TTL is only legal under ProcessingTime mode — a TTL with
+        # timeMode="None" fails handle.getValueState at first microbatch
+        timeMode="ProcessingTime" if ttl is not None else "None",
     )

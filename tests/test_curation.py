@@ -135,7 +135,9 @@ def test_redact_pii_email_wins_over_phone_local_part(spark):
     ex = redact_pii("text")
     (r,) = docs.select(*[v.alias(k) for k, v in ex.items()]).collect()
     assert r["redacted"] == "x <EMAIL> y"
-    assert r["n_email"] == 1
+    # counts equal ACTUAL substitutions: the phone-shaped local part was
+    # consumed by the email redaction, so zero phones were redacted
+    assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (1, 0, 0)
 
 
 def test_redact_pii_no_pii_is_identity(spark):
