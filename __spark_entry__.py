@@ -1145,6 +1145,38 @@ def oracle_sql() -> dict[str, str]:
     mh_bands = choose_bands(0.7)
     mh_rows = NUM_PERM // mh_bands
 
+    # ONE chunker-walk CTE body shared by the w1_chunker and
+    # semantic_search oracles — a walk-rule fix edited in one oracle but
+    # not the other would silently desynchronize the two gates.
+    chunk_walk = r"""doc as (
+              select source as repo, cast(doc_id as varchar) as path,
+                     text as content, length(text) as n
+              from documents
+              where text is not null and length(text) >= 50
+            ),
+            walk(repo, path, content, n, start, idx, safe_end, kept) as (
+              select repo, path, content, n, 0, 0, s0.safe_end, 1
+              from doc, lateral (
+                select case when e < n and strpos(reverse(substr(content, 1, e)), chr(10)) > 0
+                            then e - strpos(reverse(substr(content, 1, e)), chr(10)) + 1
+                            else e end as safe_end
+                from (select least(1000, n) as e)) s0
+              union all
+              select repo, path, content, n, new_start, idx + kept, s1.safe_end2,
+                     case when s1.safe_end2 - new_start >= 50 then 1 else 0 end
+              from (
+                select repo, path, content, n, idx, kept,
+                       case when greatest(safe_end - 100, 0) <= start
+                            then safe_end else greatest(safe_end - 100, 0) end as new_start
+                from walk) w, lateral (
+                select case when e2 < n and strpos(reverse(substr(content, new_start + 1, e2 - new_start)), chr(10)) > 0
+                            then new_start + e2 - new_start
+                                 - strpos(reverse(substr(content, new_start + 1, e2 - new_start)), chr(10)) + 1
+                            else e2 end as safe_end2
+                from (select least(new_start + 1000, n) as e2)) s1
+              where new_start < n
+            )"""
+
     en = r"\b(the|and|of|to|is|a)\b"
     de = r"\b(der|die|das|und|ist|ein)\b"
     fr = r"\b(le|la|les|et|est|un)\b"
@@ -1666,7 +1698,7 @@ def oracle_sql() -> dict[str, str]:
             select a, b, c / cast(s - c as double) as jaccard
             from p where c / cast(s - c as double) >= 0.8
         """,
-        "w1_chunker": r"""
+        "w1_chunker": rf"""
             -- recursive-CTE replication of the reference byte-window
             -- chunker (chunker.chunk_python): 1000-byte windows snapped
             -- back to just-after the last newline, 100-byte overlap,
@@ -1677,34 +1709,7 @@ def oracle_sql() -> dict[str, str]:
             -- BEFORE cutting one chunk at `start`; kept=1 on the
             -- initial row (idx 0 always kept) and by the >=50 rule on
             -- successors.
-            with recursive doc as (
-              select source as repo, cast(doc_id as varchar) as path,
-                     text as content, length(text) as n
-              from documents
-              where text is not null and length(text) >= 50
-            ),
-            walk(repo, path, content, n, start, idx, safe_end, kept) as (
-              select repo, path, content, n, 0, 0, s0.safe_end, 1
-              from doc, lateral (
-                select case when e < n and strpos(reverse(substr(content, 1, e)), chr(10)) > 0
-                            then e - strpos(reverse(substr(content, 1, e)), chr(10)) + 1
-                            else e end as safe_end
-                from (select least(1000, n) as e)) s0
-              union all
-              select repo, path, content, n, new_start, idx + kept, s1.safe_end2,
-                     case when s1.safe_end2 - new_start >= 50 then 1 else 0 end
-              from (
-                select repo, path, content, n, idx, kept,
-                       case when greatest(safe_end - 100, 0) <= start
-                            then safe_end else greatest(safe_end - 100, 0) end as new_start
-                from walk) w, lateral (
-                select case when e2 < n and strpos(reverse(substr(content, new_start + 1, e2 - new_start)), chr(10)) > 0
-                            then new_start + e2 - new_start
-                                 - strpos(reverse(substr(content, new_start + 1, e2 - new_start)), chr(10)) + 1
-                            else e2 end as safe_end2
-                from (select least(new_start + 1000, n) as e2)) s1
-              where new_start < n
-            )
+            with recursive {chunk_walk}
             select repo || '/' || path || ':' || idx as id,
                    repo, idx as chunk_idx,
                    1 + start - length(replace(substr(content, 1, start), chr(10), ''))
@@ -1798,7 +1803,7 @@ def oracle_sql() -> dict[str, str]:
                         as float) as double), 6) as f0
             from m
         """,
-        "semantic_search": r"""
+        "semantic_search": rf"""
             -- full replication of entry point B: recursive-CTE chunker
             -- (same walk as the w1_chunker oracle) + the hashing
             -- encoder (same pipeline as the u1_encoder oracle, f32
@@ -1807,34 +1812,7 @@ def oracle_sql() -> dict[str, str]:
             -- string rides the chunk CTE as sentinel cidx=-1.
             -- Validated vs a pure-Python pipeline in
             -- tests/test_oracle_sql.py.
-            with recursive doc as (
-              select source as repo, cast(doc_id as varchar) as path,
-                     text as content, length(text) as n
-              from documents
-              where text is not null and length(text) >= 50
-            ),
-            walk(repo, path, content, n, start, idx, safe_end, kept) as (
-              select repo, path, content, n, 0, 0, s0.safe_end, 1
-              from doc, lateral (
-                select case when e < n and strpos(reverse(substr(content, 1, e)), chr(10)) > 0
-                            then e - strpos(reverse(substr(content, 1, e)), chr(10)) + 1
-                            else e end as safe_end
-                from (select least(1000, n) as e)) s0
-              union all
-              select repo, path, content, n, new_start, idx + kept, s1.safe_end2,
-                     case when s1.safe_end2 - new_start >= 50 then 1 else 0 end
-              from (
-                select repo, path, content, n, idx, kept,
-                       case when greatest(safe_end - 100, 0) <= start
-                            then safe_end else greatest(safe_end - 100, 0) end as new_start
-                from walk) w, lateral (
-                select case when e2 < n and strpos(reverse(substr(content, new_start + 1, e2 - new_start)), chr(10)) > 0
-                            then new_start + e2 - new_start
-                                 - strpos(reverse(substr(content, new_start + 1, e2 - new_start)), chr(10)) + 1
-                            else e2 end as safe_end2
-                from (select least(new_start + 1000, n) as e2)) s1
-              where new_start < n
-            ),
+            with recursive {chunk_walk},
             chunk as (
               select repo, path, idx as cidx,
                      1 + start - length(replace(substr(content, 1, start), chr(10), '')) as start_line,
@@ -1892,7 +1870,8 @@ def oracle_sql() -> dict[str, str]:
               left join dotp d
                 on d.repo = cn.repo and d.path = cn.path and d.cidx = cn.cidx
             ),
-            topk as (select * from scored order by score desc limit 25),
+            topk as (select * from scored
+                     order by score desc, repo, path, cidx limit 25),
             ranked as (
               select path, start_line, score,
                      row_number() over (partition by repo, path order by start_line, cidx) as rn,

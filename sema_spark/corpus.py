@@ -440,6 +440,17 @@ def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
     write_table(
         "kcore3", pa.table({"id": sorted(expected_kcore(scale, k=3))})
     )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: float) -> float:
+        # Spark's F.round is HALF_UP on the shortest decimal repr;
+        # Python round() is half-even on the true binary value — they
+        # disagree exactly on reprs ending in '5' at the 7th place
+        # (e.g. 0.0078125), so mirror Spark here
+        return float(
+            Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
     pr = expected_pagerank(scale, iterations=5)
     write_table(
         "pagerank",
@@ -448,7 +459,7 @@ def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
                 "id": list(pr.keys()),
                 # round(6) here AND on the Spark side: the two float64
                 # iterations agree to ~1e-12, far inside the rounding
-                "rank": [round(v, 6) for v in pr.values()],
+                "rank": [r6(v) for v in pr.values()],
             }
         ),
     )

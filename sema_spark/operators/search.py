@@ -54,8 +54,11 @@ B = 0.75
 
 
 _BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
-_FUZZY = re.compile(r"~(\d)?$")
-_FIELD = re.compile(r"^([a-z_][a-z0-9_]*):(.+)$")
+_FUZZY = re.compile(r"~(\d+)?$")
+# the value must not start with '/' so URL-shaped free text
+# ("http://example.com") tokenizes as words instead of crashing as an
+# unknown-field reference
+_FIELD = re.compile(r"^([a-z_][a-z0-9_]*):([^/\s].*)$")
 
 
 @dataclass(frozen=True)
@@ -66,7 +69,8 @@ class ParsedQuery:
     scored terms (default 1.0 / 0); ``scoped`` carries ``field:value``
     terms, applied as equality filters on that document column (the
     reference hands these to tantivy's per-field index; with a single
-    indexed text field, non-default fields act as metadata filters).
+    indexed text field, non-default fields act as metadata filters);
+    ``scoped_not`` carries ``-field:value`` exclusions.
     Not modeled (documented): phrase slop ``"a b"~2``, fuzzy/boost on
     excluded terms."""
 
@@ -77,6 +81,7 @@ class ParsedQuery:
     boosts: tuple[tuple[str, float], ...] = ()
     fuzzy: tuple[tuple[str, int], ...] = ()
     scoped: tuple[tuple[str, str], ...] = ()
+    scoped_not: tuple[tuple[str, str], ...] = ()
 
     @property
     def scored_terms(self) -> tuple[str, ...]:
@@ -108,6 +113,7 @@ def parse_query(q: str) -> ParsedQuery:
     boosts: dict[str, float] = {}
     fuzzy: dict[str, int] = {}
     scoped: list[tuple[str, str]] = []
+    scoped_not: list[tuple[str, str]] = []
 
     def words(s: str) -> list[str]:
         return _WORD.findall(s.lower())
@@ -125,16 +131,24 @@ def parse_query(q: str) -> ParsedQuery:
         elif tok.startswith("-"):
             target, tok = must_not, tok[1:]
         boost = None
-        bm = _BOOST.search(tok)
-        if bm:
-            boost, tok = float(bm.group(1)), tok[: bm.start()]
         dist = None
-        fm = _FUZZY.search(tok)
-        if fm:
-            dist, tok = min(int(fm.group(1) or 1), 2), tok[: fm.start()]
+        # strip trailing modifiers in ANY order (spark^2~1, spark~1^2):
+        # a single-pass strip would leave the other modifier glued to
+        # the term and mint phantom scored words ("2")
+        while True:
+            bm = _BOOST.search(tok)
+            if bm:
+                boost, tok = float(bm.group(1)), tok[: bm.start()]
+                continue
+            fm = _FUZZY.search(tok)
+            if fm:
+                dist, tok = min(int(fm.group(1) or 1), 2), tok[: fm.start()]
+                continue
+            break
         sm = _FIELD.match(tok)
-        if sm and target is not must_not:
-            scoped.append((sm.group(1), sm.group(2).lower()))
+        if sm:
+            pair = (sm.group(1), sm.group(2).lower())
+            (scoped_not if target is must_not else scoped).append(pair)
             continue
         for w in words(tok):
             target.append(w)
@@ -145,6 +159,7 @@ def parse_query(q: str) -> ParsedQuery:
     return ParsedQuery(
         tuple(should), tuple(must), tuple(must_not), tuple(phrases),
         tuple(boosts.items()), tuple(fuzzy.items()), tuple(scoped),
+        tuple(scoped_not),
     )
 
 
@@ -208,6 +223,12 @@ def bm25_search(
         if field not in docs.columns:
             raise ValueError(f"field-scoped term references unknown column {field!r}")
         keep = keep & (F.lower(F.col(field).cast("string")) == F.lit(value))
+    for field, value in pq.scoped_not:
+        if field not in docs.columns:
+            raise ValueError(f"field-scoped term references unknown column {field!r}")
+        # eqNullSafe: a null field must survive the exclusion (plain !=
+        # yields null and would silently drop the row)
+        keep = keep & ~F.lower(F.col(field).cast("string")).eqNullSafe(F.lit(value))
 
     # ONE projection: doc length + tf per query term, straight off the
     # token array (query term sets are small; no explode, no posting

@@ -188,7 +188,12 @@ def semantic_search(
     scored = chunks_with_embeddings.withColumn(
         "score", cosine(F.col("embedding"), query_literal(query))
     )
-    topk = scored.orderBy(F.desc_nulls_last("score")).limit(k)
+    # the cut needs a TOTAL order: bit-identical scores (duplicate
+    # chunks) straddling rank k would otherwise pick partition-order
+    # rows — nondeterministic run-to-run and divergent from any oracle
+    topk = scored.orderBy(
+        F.desc_nulls_last("score"), "repo", "path", "chunk_idx"
+    ).limit(k)
     # per-FILE windows: (repo, path) — path alone would merge same-named
     # files across repos (README.md, src/main.py) into one "file".
     # chunk_idx breaks start_line ties deterministically: a file shorter

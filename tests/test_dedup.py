@@ -77,14 +77,16 @@ def test_ngram_jaccard_pairs(spark, docs):
 def test_ngram_hash_collision_free(spark):
     """The re-rank computes Jaccard over xxhash64(gram) instead of gram
     strings; |∩|/|∪| is identical iff no two distinct grams collide.
-    Assert absence over the whole driver-gate corpus (sf0.01)."""
+    Assert absence over BOTH corpora the re-rank actually runs on: the
+    driver-gate corpus (sf0.01) and the bench corpus (sf0.1)."""
     from sema_spark.functions.minhash import char_shingles
 
-    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
-    g = docs.select(F.explode(char_shingles(F.col("text"), 3)).alias("g")).distinct()
-    n_grams = g.count()
-    n_hashes = g.select(F.xxhash64("g")).distinct().count()
-    assert n_grams == n_hashes
+    for sf in ("sf0.01", "sf0.1"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        g = docs.select(F.explode(char_shingles(F.col("text"), 3)).alias("g")).distinct()
+        n_grams = g.count()
+        n_hashes = g.select(F.xxhash64("g")).distinct().count()
+        assert n_grams == n_hashes, sf
 
 
 def test_embedding_dup_pairs(spark):

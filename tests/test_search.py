@@ -94,3 +94,44 @@ def test_bm25_fuzzy_boost_and_field_scope(spark):
 
     with pytest.raises(ValueError, match="unknown column"):
         bm25_search(docs, "spark +nope:x", k=5).collect()
+
+
+def test_parser_modifier_order_and_multidigit_fuzzy():
+    from sema_spark.operators.search import parse_query
+
+    # reversed modifier order must not mint a phantom term "2"
+    pq = parse_query("spark^2~1")
+    assert pq.should == ("spark",)
+    assert pq.boost_of("spark") == 2.0 and pq.fuzzy_of("spark") == 1
+    # multi-digit fuzzy parses and caps at 2 (tantivy/Lucene cap)
+    pq = parse_query("deep~10")
+    assert pq.should == ("deep",) and pq.fuzzy_of("deep") == 2
+
+
+def test_parser_scoped_exclusion():
+    from sema_spark.operators.search import parse_query
+
+    pq = parse_query("-lang:en spark")
+    assert pq.scoped_not == (("lang", "en"),)
+    assert pq.must_not == ()  # NOT reparsed as excluded words
+    assert pq.should == ("spark",)
+
+
+def test_parser_url_tokenizes_as_words():
+    from sema_spark.operators.search import parse_query
+
+    pq = parse_query("spark http://example.com")
+    assert pq.scoped == ()  # 'http' is not a field reference
+    assert set(pq.should) == {"spark", "http", "example", "com"}
+
+
+def test_bm25_scoped_exclusion_filters(spark):
+    from sema_spark.operators.search import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "spark rows", "en"), (2, "spark rows", "de"), (3, "spark rows", None)],
+        "doc_id long, text string, lang string",
+    )
+    got = {r["doc_id"] for r in bm25_search(docs, "spark -lang:en", k=10).collect()}
+    # en excluded; de kept; NULL lang must survive the exclusion
+    assert got == {2, 3}

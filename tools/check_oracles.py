@@ -95,7 +95,21 @@ def main():
             sdf = fn(spark, sf_dir)
             # HARD GUARD: decimal output can never hash-match the
             # driver's DuckDB pandas path — fail before comparing.
-            bad = [f.name for f in sdf.schema.fields if "Decimal" in type(f.dataType).__name__]
+            # Recurses: a decimal nested in a struct/array/map column
+            # hits the same serialization divergence as a top-level one.
+            def _has_decimal(dt) -> bool:
+                if "Decimal" in type(dt).__name__:
+                    return True
+                return any(
+                    _has_decimal(child.dataType if hasattr(child, "dataType") else child)
+                    for child in getattr(dt, "fields", [])
+                ) or any(
+                    _has_decimal(getattr(dt, a))
+                    for a in ("elementType", "keyType", "valueType")
+                    if hasattr(dt, a)
+                )
+
+            bad = [f.name for f in sdf.schema.fields if _has_decimal(f.dataType)]
             if bad:
                 failures.append((name, f"DecimalType in final schema: {bad}"))
                 print(f"✗ {name}: DecimalType output column(s) {bad} — cast to double/bigint")
