@@ -47,11 +47,25 @@ def _ship_package(spark: SparkSession) -> None:
     key = id(spark)
     if key in _PKG_SHIPPED:
         return
-    zip_base = "/tmp/sema_spark_pkg"
-    if not os.path.exists(zip_base + ".zip"):
-        shutil.make_archive(zip_base, "zip", repo, "sema_spark")
+    zip_path = "/tmp/sema_spark_pkg.zip"
+    # REBUILD when stale: the zip persists across driver processes, so a
+    # cached archive from an older round would ship outdated modules to
+    # Python workers (anything cloudpickled by reference imports from
+    # it).  Compare against the newest source file; write to a unique
+    # temp + atomic rename so concurrent harness processes never read a
+    # half-written archive.
+    src_mtime = max(
+        os.path.getmtime(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(os.path.join(repo, "sema_spark"))
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
+        tmp_base = f"/tmp/.sema_spark_pkg-{os.getpid()}"
+        shutil.make_archive(tmp_base, "zip", repo, "sema_spark")
+        os.replace(tmp_base + ".zip", zip_path)
     try:
-        spark.sparkContext.addPyFile(zip_base + ".zip")
+        spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass  # e.g. already added under a different name
     _PKG_SHIPPED.add(key)
