@@ -47,18 +47,20 @@ __all__ = [
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition under-split inputs before interpreted-HOF phases
-    (``F.transform`` lambdas are not codegen'd): a parquet file below
-    row-group size arrives as ONE split, serializing per-doc work.
+    """Repartition before interpreted-HOF phases (``F.transform``
+    lambdas are not codegen'd): a parquet file below row-group size
+    arrives as ONE split, and AQE's 64MB coalescing target serializes
+    CPU-bound post-shuffle stages the same way.
 
-    Conditional: a NO-OP whenever the scan already has at least
-    defaultParallelism splits — on a many-file cluster corpus no
-    exchange is added, so operator docstrings' shuffle counts exclude
-    it.  Only genuinely under-split inputs pay the one corpus-width
-    round-robin exchange, where it is always worth it."""
+    Unconditional explicit-numPartitions repartition: AQE does not
+    coalesce a user-specified repartition, so the interpreted phase is
+    guaranteed its parallelism whether the input is an under-split
+    scan or a post-join exchange.  (A partition-count probe was tried
+    and rejected: the pre-runtime count is AQE-blind — it reports the
+    static shuffle partitions exactly where AQE then coalesces them.)
+    Cost: one round-robin exchange of the slim (id, text) projection,
+    counted in each operator's docstring."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
-        return df
     return df.repartition(sc.defaultParallelism * 2)
 
 
@@ -97,9 +99,9 @@ def decontaminate(
       slim shuffles remain: the distinct over contaminated ids (combiner-
       reduced, bounded by corpus rows) and the id-only flag join back to
       the corpus (single bigint column; AQE broadcasts it when the
-      contaminated set is small, which is the common case).  (_spread
-      adds one round-robin exchange ONLY for under-split small-file
-      inputs — a no-op on a properly-split cluster scan.)
+      contaminated set is small, which is the common case).  _spread
+      adds one AQE-proof round-robin exchange of the slim (id, text)
+      projection before the interpreted gram explode.
     * Gram strings (not hashes) join so the result is collision-exact; the
       broadcast side is the small one so the string width doesn't matter.
     """
@@ -138,15 +140,17 @@ def dedup_passages(
 
     Returns ``(id_col, clean_text, n_passages, n_kept)``.
 
-    Scale design: exactly two shuffles, both forced by the semantics —
-    winner selection (a window rank partitioned by a **128-bit sha256
-    prefix** of the passage: collision-safe at 10^12 passages where a
-    64-bit hash is not, ~3·10^4 expected collisions at that count) and
-    document reassembly keyed on id.  The passage subtree is evaluated
+    Scale design: two semantic shuffles — winner selection (a window
+    rank partitioned by a **128-bit sha256 prefix** of the passage:
+    collision-safe at 10^12 passages where a 64-bit hash is not,
+    ~3·10^4 expected collisions at that count) and document reassembly
+    keyed on id — plus _spread's AQE-proof round-robin exchange before
+    the interpreted passage explode.  The passage subtree is evaluated
     ONCE: the window replaces the min-struct + semi-join formulation
     (which planned the explode three times and re-shuffled the full
     rows anyway), and per-document passage totals come arithmetically
-    from the word count — no second explode.
+    from the word count — no second explode.  Null-text documents are
+    excluded entirely (they have no passages on either engine).
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_pass = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
@@ -168,7 +172,10 @@ def dedup_passages(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    totals = docs.select(
+    # null text yields no exploded passages, so it must be absent from
+    # totals too — a right-join row with NULL n_passages would diverge
+    # from any oracle built off the passage rows
+    totals = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_id"), n_pass.cast("bigint").alias("n_passages")
     )
     return (

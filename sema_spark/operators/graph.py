@@ -156,7 +156,15 @@ def k_hop(
     edge join shuffles on src each hop — bucketing the edge table on src
     amortizes that across hops and across queries.
     """
-    seen = seeds.select(F.col("node"), F.lit(0).cast("bigint").alias("dist"))
+    # cut the caller's plan ONCE: edges/seeds may be whole pipelines
+    # (q_kg_two_hop passes the KG extraction), and Catalyst shares no
+    # common subtrees — without this every hop and the final union
+    # re-derive the full upstream plan (same discipline as pagerank's
+    # materialized links)
+    edges = materialize(edges.select(src, dst))
+    seen = materialize(
+        seeds.select(F.col("node"), F.lit(0).cast("bigint").alias("dist"))
+    )
     frontier = seen
     for hop in range(1, k + 1):
         nxt = (
@@ -210,7 +218,9 @@ def k_core(
     sym = materialize(sym.select("a", "b").union(sym.select(F.col("b"), F.col("a"))))
     converged = False
     for _ in range(max_rounds):
-        weak = (
+        # materialized: weak feeds an isEmpty probe plus TWO anti-joins,
+        # and Catalyst would re-run the degree aggregation for each
+        weak = materialize(
             sym.groupBy("a")
             .agg(F.count("*").alias("deg"))
             .where(F.col("deg") < k)

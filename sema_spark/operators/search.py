@@ -55,10 +55,11 @@ B = 0.75
 
 _BOOST = re.compile(r"\^(\d+(?:\.\d+)?)$")
 _FUZZY = re.compile(r"~(\d+)?$")
-# the value must not start with '/' so URL-shaped free text
+# the value must not start with '//' so URL-shaped free text
 # ("http://example.com") tokenizes as words instead of crashing as an
-# unknown-field reference
-_FIELD = re.compile(r"^([a-z_][a-z0-9_]*):([^/\s].*)$")
+# unknown-field reference — while path-valued scopes (path:/src/x.py,
+# single slash) stay real field filters
+_FIELD = re.compile(r"^([a-z_][a-z0-9_]*):(?!//)(\S+)$")
 
 
 @dataclass(frozen=True)

@@ -126,6 +126,9 @@ def test_k_hop_cycle_terminates_with_min_dist(spark):
 
 
 def _py_kcore(edges, k):
+    # DELIBERATELY independent of corpus.expected_kcore (the oracle's
+    # peeler): this copy validates Spark k_core on adversarial graphs,
+    # so a bug in the oracle implementation cannot mask itself here
     und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
     adj = {}
     for a, b in und:
