@@ -1001,6 +1001,8 @@ def q_curation_v2(spark, sf):
         repetition_signals,
     )
 
+    from sema_spark.plans.materialize import materialize
+
     docs = _docs(spark, sf)
     bench = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
@@ -1009,9 +1011,13 @@ def q_curation_v2(spark, sf):
         .where(~F.col("contaminated"))
         .select("doc_id")
     )
-    train = train.join(clean_ids, "doc_id", "left_semi")
+    # cut the plan between stages: each later operator consumes `train`
+    # more than once internally, and Catalyst would re-derive the whole
+    # decontamination subtree per consumer (branch-sharing lesson from
+    # the KG pipeline)
+    train = materialize(train.join(clean_ids, "doc_id", "left_semi"))
     keep_ids = repetition_signals(train).where("keep").select("doc_id")
-    train = train.join(keep_ids, "doc_id", "left_semi")
+    train = materialize(train.join(keep_ids, "doc_id", "left_semi"))
     cleaned = (
         dedup_passages(train, passage_words=10)
         .where(F.col("n_kept") > 0)
