@@ -269,3 +269,58 @@ def test_weighted_interleave_drops_unweighted_and_is_deterministic(spark):
     assert o1 == o7                       # partitioning invariant
     assert all(s != "c" for _, s, _, _ in o1)  # unweighted source dropped
     assert len(o1) == 40
+
+
+# ------------------------------------------------- incremental curation
+def test_repetition_signals_incremental_stage(spark, tmp_path):
+    """Per-document curation signals compose with the checkpointed
+    incremental store: a second run over a grown corpus processes ONLY
+    the new documents, and the accumulated stage output equals a
+    from-scratch computation.  (Corpus-WIDE curation ops — passage
+    dedup, decontamination — are deliberately snapshot-stage material:
+    their output for old docs changes when new docs arrive.)"""
+    from sema_spark.sources.checkpoint import read_stage_output, run_incremental_stage
+
+    base = str(tmp_path / "store")
+
+    def src_of(rows):
+        df = _df(spark, rows, "doc_id long, text string")
+        return df.select(
+            F.lit("corpus").alias("repo"),
+            F.col("doc_id").cast("string").alias("path"),
+            F.sha2(F.col("text"), 256).alias("content_sha"),
+            "doc_id",
+            "text",
+        )
+
+    def transform(pending):
+        sigs = repetition_signals(pending.select("doc_id", "text"))
+        return pending.select("repo", "path", "content_sha", "doc_id").join(
+            sigs, "doc_id"
+        )
+
+    batch1 = [(i, f"alpha beta gamma doc{i} " * 3) for i in range(10)]
+    batch2 = [(i, f"spam spam spam doc{i}") for i in range(10, 16)]
+
+    r1 = run_incremental_stage(spark, src_of(batch1), "rep_sigs", base, transform)
+    assert (r1.input_files, r1.skipped) == (10, False)
+
+    # re-running over the SAME corpus is a no-op (resume idempotence)
+    r_again = run_incremental_stage(spark, src_of(batch1), "rep_sigs", base, transform)
+    assert r_again.skipped
+
+    # grown corpus: only the 6 new docs are processed
+    r2 = run_incremental_stage(spark, src_of(batch1 + batch2), "rep_sigs", base, transform)
+    assert (r2.input_files, r2.skipped) == (6, False)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["top_word_frac"], r["keep"])
+        for r in read_stage_output(spark, base, "rep_sigs").collect()
+    }
+    expect = {
+        r["doc_id"]: (r["n_words"], r["top_word_frac"], r["keep"])
+        for r in repetition_signals(
+            _df(spark, batch1 + batch2, "doc_id long, text string")
+        ).collect()
+    }
+    assert got == expect
