@@ -795,6 +795,23 @@ def q_kg_kcore(spark, sf):
     return k_core(edges, k=3)
 
 
+def q_bpe_merges(spark, sf):
+    """BPE tokenizer training over the xs corpus (sf ignored, like the
+    KG queries): 20 merge rules learned via the distributed pair-count /
+    argmax / fold-merge loop in functions/bpe.py; oracle = the
+    independent pure-Python BPE materialized as bpe_merges.parquet.
+    The returned DataFrame is the scalar-sized merge table (built
+    driver-side from the job's per-round argmax results)."""
+    from sema_spark.corpus import corpus_df
+    from sema_spark.functions.bpe import bpe_train
+
+    docs = corpus_df(spark, "xs").select(F.col("content").alias("text"))
+    merges = bpe_train(docs, 20)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, pair_count long"
+    )
+
+
 def q_kg_pagerank(spark, sf):
     """PageRank over the canonical KG edges (iterative DataFrame power
     iteration).  Oracle: an independent numpy power iteration over the
@@ -1122,6 +1139,7 @@ def _build_registry():
         "kg_degree_hist": q_kg_degree_hist,
         "kg_two_hop": q_kg_two_hop,
         "kg_kcore": q_kg_kcore,
+        "bpe_merges": q_bpe_merges,
         "kg_pagerank": q_kg_pagerank,
         "semantic_search": q_semantic_search,
         "multimodal_features": q_multimodal_features,
@@ -1789,6 +1807,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_kcore": f"""
             select id from read_parquet('{KG_EXPECTED_DIR}/kcore3.parquet')
+        """,
+        "bpe_merges": f"""
+            select rank, "left", "right", merged, pair_count
+            from read_parquet('{KG_EXPECTED_DIR}/bpe_merges.parquet')
         """,
         "kg_two_hop": f"""
             with e as (select distinct src, dst

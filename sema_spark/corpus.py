@@ -440,6 +440,22 @@ def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
     write_table(
         "kcore3", pa.table({"id": sorted(expected_kcore(scale, k=3))})
     )
+    from sema_spark.functions.bpe import bpe_python
+
+    rows, _ = _generated(scale)
+    bm = bpe_python([r.content for r in rows], 20)
+    write_table(
+        "bpe_merges",
+        pa.table(
+            {
+                "rank": [m[0] for m in bm],
+                "left": [m[1] for m in bm],
+                "right": [m[2] for m in bm],
+                "merged": [m[3] for m in bm],
+                "pair_count": [m[4] for m in bm],
+            }
+        ),
+    )
     from decimal import ROUND_HALF_UP, Decimal
 
     def r6(x: float) -> float:

@@ -1,0 +1,163 @@
+"""Byte-pair-encoding tokenizer TRAINING as distributed DataFrame ops.
+
+Training a corpus tokenizer is a first-class training-data-pipeline job
+(the reference engine consumes a fixed MiniLM vocabulary; a 100 TB
+pipeline trains its own).  The classic algorithm (Sennrich et al. 2016)
+is iterative: count adjacent symbol pairs over the corpus, merge the
+most frequent pair everywhere, repeat.
+
+Distributed shape per merge round:
+
+* The corpus collapses ONCE to its distinct-word vocabulary with counts
+  (`groupBy word` — the classic trick: pair statistics only depend on
+  the weighted vocabulary, which is orders of magnitude smaller than
+  the corpus, and it's the only corpus-wide shuffle in the whole run).
+* Each round then shuffles only (pair, weighted-count) rows — bounded
+  by the vocabulary's symbol count, combiner-reduced — and brings ONE
+  row (the argmax pair) to the driver, the standard iterative-algorithm
+  point lookup (same as pagerank's convergence scalar).
+* The merge applies as a pure-expression left-to-right fold
+  (`F.aggregate`) over each vocab word's symbol array — no Python in
+  the per-word path — and the vocab is materialized per round so the
+  plan does not grow with iterations.
+
+Determinism: ties on pair count break lexicographically on (left,
+right); the fold merges left-to-right non-overlapping (["a","a","a"]
+under merge (a,a) → ["aa","a"]) exactly like the reference Python
+implementation below, which doubles as the driver oracle
+(expected-parquet mechanism) and the unit-test reference.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, functions as F
+
+from sema_spark.plans.materialize import materialize
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def _words(text_col):
+    return F.filter(
+        F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn up to ``n_merges`` BPE merge rules from the corpus.
+
+    Returns ``[(rank, left, right, merged, pair_count), ...]`` — a small
+    driver-side list (the merge table IS the tokenizer; it is the
+    scalar-sized output of the job, like pagerank's per-node ranks are
+    its row-sized one).  Stops early when no pair occurs twice.
+    """
+    vocab = materialize(
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.transform(F.split("w", ""), lambda c: c).alias("syms"),
+            "cnt",
+        )
+        .where(F.size("syms") >= 2)
+    )
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["n"] < 2:
+            break
+        left, right, n = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["n"])
+        merged = left + right
+        merges.append((rank, left, right, merged, n))
+
+        # left-to-right non-overlapping merge fold: a freshly-merged
+        # symbol cannot immediately re-merge within the same pass
+        # (["a","a","a"] -> ["aa","a"]), matching reference BPE
+        def apply_merge(syms, lv=left, rv=right, mv=merged):
+            return F.aggregate(
+                syms,
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(lv))
+                    & (x == F.lit(rv)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(mv))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            )
+
+        vocab = materialize(
+            vocab.select(apply_merge(F.col("syms")).alias("syms"), "cnt")
+            # a word collapsed to one symbol can never pair again — and
+            # F.sequence(1, 0) DESCENDS, so keeping it would generate
+            # out-of-bounds pair indices
+            .where(F.size("syms") >= 2)
+        )
+    return merges
+
+
+def bpe_python(texts, n_merges: int) -> list[tuple[int, str, str, str, int]]:
+    """Independent pure-Python BPE — unit-test reference AND the driver
+    oracle's expected-parquet source.  Same word regex, weighting,
+    tiebreak, merge fold, and early stop as :func:`bpe_train`."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in _WORD_RE.findall((t or "").lower()):
+            vocab[w] += 1
+    syms = {w: tuple(w) for w in vocab if len(w) >= 2}
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: Counter = Counter()
+        for w, s in syms.items():
+            c = vocab[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += c
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        merged = left + right
+        merges.append((rank, left, right, merged, n))
+        new_syms = {}
+        for w, s in syms.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            new_syms[w] = tuple(out)
+        syms = new_syms
+    return merges
