@@ -812,6 +812,26 @@ def q_bpe_merges(spark, sf):
     )
 
 
+def q_bpe_token_counts(spark, sf):
+    """Tokenizer round trip: train 20 BPE rules on the xs corpus, apply
+    them back through the Arrow-batched encode UDF, and return the
+    top-50 token frequencies (count desc, token asc).  Oracle = the
+    pure-Python train+encode pipeline's counts (expected parquet)."""
+    from sema_spark.corpus import corpus_df
+    from sema_spark.functions.bpe import bpe_encode, bpe_train
+
+    docs = corpus_df(spark, "xs").select(F.col("content").alias("text"))
+    merges = bpe_train(docs, 20)
+    return (
+        bpe_encode(docs, merges)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )
+
+
 def q_kg_pagerank(spark, sf):
     """PageRank over the canonical KG edges (iterative DataFrame power
     iteration).  Oracle: an independent numpy power iteration over the
@@ -1140,6 +1160,7 @@ def _build_registry():
         "kg_two_hop": q_kg_two_hop,
         "kg_kcore": q_kg_kcore,
         "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         "kg_pagerank": q_kg_pagerank,
         "semantic_search": q_semantic_search,
         "multimodal_features": q_multimodal_features,
@@ -1811,6 +1832,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": f"""
             select rank, "left", "right", merged, pair_count
             from read_parquet('{KG_EXPECTED_DIR}/bpe_merges.parquet')
+        """,
+        "bpe_token_counts": f"""
+            select token, n
+            from read_parquet('{KG_EXPECTED_DIR}/bpe_token_counts.parquet')
         """,
         "kg_two_hop": f"""
             with e as (select distinct src, dst

@@ -440,7 +440,7 @@ def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
     write_table(
         "kcore3", pa.table({"id": sorted(expected_kcore(scale, k=3))})
     )
-    from sema_spark.functions.bpe import bpe_python
+    from sema_spark.functions.bpe import _WORD_RE, apply_merges, bpe_python
 
     rows, _ = _generated(scale)
     bm = bpe_python([r.content for r in rows], 20)
@@ -454,6 +454,21 @@ def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
                 "merged": [m[3] for m in bm],
                 "pair_count": [m[4] for m in bm],
             }
+        ),
+    )
+    # top-50 token frequencies of the merges applied back to the corpus
+    # (count desc, token asc) — oracle for the encode side
+    from collections import Counter
+
+    tok_counts: Counter = Counter()
+    for r in rows:
+        for w in _WORD_RE.findall(r.content.lower()):
+            tok_counts.update(apply_merges(w, bm))
+    top = sorted(tok_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    write_table(
+        "bpe_token_counts",
+        pa.table(
+            {"token": [t for t, _ in top], "n": [c for _, c in top]}
         ),
     )
     from decimal import ROUND_HALF_UP, Decimal

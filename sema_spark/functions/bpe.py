@@ -161,3 +161,64 @@ def bpe_python(texts, n_merges: int) -> list[tuple[int, str, str, str, int]]:
             new_syms[w] = tuple(out)
         syms = new_syms
     return merges
+
+
+def apply_merges(word: str, merges) -> list[str]:
+    """Apply ranked BPE merges to one word (pure function, shared by the
+    Spark UDF batch path and the oracle's corpus encoding — hand-checked
+    encodings in tests/test_bpe.py gate the rule application itself)."""
+    syms = list(word)
+    for _, left, right, merged, _ in merges:
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == left and x == right:
+                out[-1] = merged
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge table: ``(id?, tokens
+    array<string>, n_tokens)`` per document.
+
+    Tokenization is the textbook right use of an Arrow-batched pandas
+    UDF: per-string sequential merge application is irreducible to
+    built-in expressions (20 chained F.aggregate folds would nest the
+    expression tree 20 deep), while the merge table is tiny and ships in
+    the closure.  The UDF memoizes per distinct word within each batch —
+    on natural text that collapses most of the work (Zipf).  No shuffle:
+    a narrow map over the corpus.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rules = list(merges)
+
+    # no parameter annotations: this module uses postponed annotations
+    # (PEP 563), which pandas_udf's signature inspection cannot resolve
+    @pandas_udf("array<string>")
+    def encode(texts):
+        cache: dict[str, list[str]] = {}
+
+        def enc(t):
+            out: list[str] = []
+            for w in _WORD_RE.findall((t or "").lower()):
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = apply_merges(w, rules)
+                out.extend(got)
+            return out
+
+        return texts.map(enc)
+
+    cols = [F.col(id_col)] if id_col else []
+    return docs.select(
+        *cols, encode(F.col(text_col)).alias("tokens")
+    ).withColumn("n_tokens", F.size("tokens"))

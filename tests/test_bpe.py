@@ -48,3 +48,30 @@ def test_bpe_count_tiebreak_is_lexicographic(spark):
 def test_bpe_early_stop_when_no_repeated_pair(spark):
     got = bpe_train(_df(spark, ["ab cd ef"]), 5)  # every pair count 1
     assert got == bpe_python(["ab cd ef"], 5) == []
+
+
+def test_apply_merges_hand_checked():
+    from sema_spark.functions.bpe import apply_merges
+
+    merges = [(0, "h", "e", "he", 0), (1, "t", "he", "the", 0)]
+    assert apply_merges("the", merges) == ["the"]
+    assert apply_merges("theme", merges) == ["the", "m", "e"]
+    assert apply_merges("tee", merges) == ["t", "e", "e"]  # no 'he' pair at pos 1? t-e-e: (h,e) absent
+    assert apply_merges("hehe", merges) == ["he", "he"]
+
+
+def test_bpe_encode_udf_matches_pure_function(spark):
+    from sema_spark.functions.bpe import apply_merges, bpe_encode, bpe_train
+
+    texts = ["the theme thesis theatre", "banana bandana the"]
+    df = _df(spark, texts)
+    merges = bpe_train(df, 6)
+    rows = bpe_encode(df, merges, id_col=None).collect()
+    got = sorted(tuple(r["tokens"]) for r in rows)
+    import re
+    exp = sorted(
+        tuple(t for w in re.findall(r"[a-z0-9]+", s.lower()) for t in apply_merges(w, merges))
+        for s in texts
+    )
+    assert got == exp
+    assert all(r["n_tokens"] == len(r["tokens"]) for r in rows)
