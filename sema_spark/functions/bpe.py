@@ -62,7 +62,9 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
         .select(
-            F.transform(F.split("w", ""), lambda c: c).alias("syms"),
+            # split on "" yields the character array with no trailing
+            # empty (verified on Spark 4.1.2)
+            F.split("w", "").alias("syms"),
             "cnt",
         )
         .where(F.size("syms") >= 2)
