@@ -410,6 +410,34 @@ def expected_kcore(scale: str = "xs", k: int = 3) -> set[str]:
     return set(adj)
 
 
+def expected_label_propagation(
+    scale: str = "xs", iterations: int = 5
+) -> dict[str, str]:
+    """Independent pure-Python synchronous LPA over the expected edge
+    set — same semantics as operators/graph.label_propagation (undirected
+    simple graph, label = own id initially, each round every node
+    simultaneously adopts its neighbors' most frequent label, ties to the
+    lexicographically smallest, exactly ``iterations`` rounds).  Driver
+    oracle for ``kg_label_propagation``."""
+    import collections
+
+    und = {tuple(sorted((s, d))) for s, _, d in expected_edges(scale) if s != d}
+    adj: dict[str, set[str]] = collections.defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {v: v for v in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for v in adj:
+            counts = collections.Counter(labels[nb] for nb in adj[v])
+            # (count desc, label asc) — min over (-count, label) avoids
+            # the negate-a-string trap a max-key would need
+            nxt[v] = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    return labels
+
+
 def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
     """Materialize the construction-time expected triple + edge sets —
     plus the numpy pagerank over those edges — as parquet (pyarrow, no
@@ -439,6 +467,12 @@ def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
     write("edges", ("src", "pred", "dst"), expected_edges(scale))
     write_table(
         "kcore3", pa.table({"id": sorted(expected_kcore(scale, k=3))})
+    )
+    lpa = expected_label_propagation(scale, iterations=5)
+    lpa_ids = sorted(lpa)
+    write_table(
+        "lpa5",
+        pa.table({"id": lpa_ids, "label": [lpa[i] for i in lpa_ids]}),
     )
     from sema_spark.functions.bpe import _WORD_RE, apply_merges, bpe_python
 

@@ -186,6 +186,64 @@ def k_hop(
     return seen.groupBy("node").agg(F.min("dist").alias("dist"))
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation communities over the undirected
+    simple graph induced by ``edges``: every node starts labeled with its
+    own id; each round, every node simultaneously adopts the most
+    frequent label among its neighbors, breaking count ties by the
+    lexicographically smallest label.  Runs exactly ``iterations``
+    rounds — the fixed-round synchronous variant is fully deterministic
+    (classic LPA's convergence-order nondeterminism is exactly what a
+    value-exact oracle cannot tolerate; bounded rounds also cap the
+    iterative plan at scale, where LPA is typically run 5-10 rounds).
+    Returns ``(id, label)`` for every node with at least one neighbor.
+
+    Per round: one equi-join shuffling the symmetric edge list on its
+    join key, one (node, label) count aggregate, one per-node window to
+    apply the (count desc, label asc) tie-break — all on slim key
+    columns, never the payload.  The edge list is materialized once and
+    reused; labels are materialized per round so Catalyst's plan stays
+    flat (pagerank / k_core discipline).  At 100 TB the per-round edge
+    shuffle is the cost; bucketing the symmetrized edge table on src
+    amortizes it across rounds, as with pagerank (documented, not needed
+    at sandbox scale).
+    """
+    sym = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = materialize(
+        sym.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            sym.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+    )
+    labels = sym.select(F.col("u").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(iterations):
+        counts = (
+            sym.join(labels.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("label"))
+        labels = materialize(
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("id", "label")
+        )
+    return labels
+
+
 def k_core(
     edges: DataFrame,
     k: int,

@@ -170,3 +170,55 @@ def test_k_core_cascade_requires_iteration(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     got = {r.id for r in k_core(df, k=2).collect()}
     assert got == {"p", "q", "r"} == _py_kcore(edges, 2)
+
+
+def _py_lpa(edges, iterations):
+    """Independent reference: fixed-round synchronous LPA, ties→min label."""
+    from collections import Counter
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(iterations):
+        labels = {
+            v: min(
+                Counter(labels[nb] for nb in adj[v]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for v in adj
+        }
+    return labels
+
+
+def test_label_propagation_two_cliques(spark):
+    # two K4 cliques joined by one bridge edge: LPA should settle each
+    # clique on its min member label, bridge notwithstanding
+    left = ["a", "b", "c", "d"]
+    right = ["w", "x", "y", "z"]
+    edges = [(u, v) for u in left for v in left if u < v]
+    edges += [(u, v) for u in right for v in right if u < v]
+    edges += [("d", "w"), ("b", "a")]  # bridge + a parallel/reversed dup
+    from sema_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for it in (1, 3, 5):
+        got = {r.id: r.label for r in label_propagation(df, iterations=it).collect()}
+        assert got == _py_lpa(edges, it), it
+    final = {r.id: r.label for r in label_propagation(df, iterations=5).collect()}
+    assert {final[n] for n in left} == {"a"}
+    assert {final[n] for n in right} <= {"a", "w"}  # bridge may leak "a" to w
+
+
+def test_label_propagation_matches_corpus_oracle(spark):
+    # the xs expected-edge graph: Spark LPA == the pure-Python oracle
+    # that writes lpa5.parquet (the driver gate's comparison, in-process)
+    from sema_spark.corpus import expected_edges, expected_label_propagation
+    from sema_spark.operators.graph import label_propagation
+
+    pairs = [(s, d) for s, _, d in expected_edges("xs")]
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    got = {r.id: r.label for r in label_propagation(df, iterations=5).collect()}
+    assert got == expected_label_propagation("xs", iterations=5)
