@@ -1055,14 +1055,19 @@ def q_curation_v2(spark, sf):
     """End-to-end curation composition over the round-3 operators:
     decontaminate (drop) → repetition-quality keep → corpus-wide passage
     dedup (drop fully-emptied docs, keep cleaned text) → next-fit
-    sequence packing of the cleaned text.  The oracle replays the whole
-    chain in one SQL statement — composition plumbing, not just each
-    stage, is what this gates."""
+    sequence packing of the cleaned text → weighted training-mix
+    interleave (stride scheduling over every source at weight
+    1/(1+i%4); those weights make the virtual time ``vt = rn·(1+i%4)``
+    integer-valued, so the two engines can never diverge on fp rounding
+    of the schedule key).  The oracle replays the whole chain in one
+    SQL statement — composition plumbing, not just each stage, is what
+    this gates."""
     from sema_spark.operators.curation import (
         decontaminate,
         dedup_passages,
         pack_sequences,
         repetition_signals,
+        weighted_interleave,
     )
 
     from sema_spark.plans.materialize import materialize
@@ -1087,7 +1092,17 @@ def q_curation_v2(spark, sf):
         .where(F.col("n_kept") > 0)
         .select("doc_id", F.col("clean_text").alias("text"))
     )
-    return pack_sequences(cleaned, capacity=256, n_shards=4)
+    cleaned = materialize(cleaned)
+    packed = pack_sequences(cleaned, capacity=256, n_shards=4)
+    mix = weighted_interleave(
+        cleaned.join(docs.select("doc_id", "source"), "doc_id"),
+        {f"src{i}": 1.0 / (1.0 + i % 4) for i in range(20)},
+        source_col="source",
+        id_col="doc_id",
+    )
+    return packed.join(mix, "doc_id").select(
+        "doc_id", "shard", "bin_idx", "n_tokens", "source", "rn_in_source", "vt"
+    )
 
 
 def q_triangle_count(spark, sf):
@@ -2196,8 +2211,25 @@ def oracle_sql() -> dict[str, str]:
                      case when r.fill + d.n_tokens > 256 then r.bin + 1 else r.bin end,
                      case when r.fill + d.n_tokens > 256 then d.n_tokens
                           else r.fill + d.n_tokens end
-              from rec r join ordered d on d.shard = r.shard and d.rn = r.rn + 1)
-            select doc_id, shard, bin as bin_idx, n_tokens from rec
+              from rec r join ordered d on d.shard = r.shard and d.rn = r.rn + 1),
+            -- stage 5: weighted training-mix interleave over the cleaned
+            -- docs (every source, weight 1/(1+i%4) -> integer vt)
+            mixb as (select c.doc_id, d.source,
+                            cast(list_sum([cast(strpos('0123456789abcdef',
+                                     substr(sha256(cast(c.doc_id as varchar)), i + 1, 1)) - 1
+                                   as bigint) << (4 * (7 - i)) for i in range(0, 8)])
+                              as bigint) % 10000 as bucket,
+                            1.0 / (1.0 + (cast(substr(d.source, 4) as int) % 4)) as w
+                     from cleaned c join documents d on c.doc_id = d.doc_id),
+            mix as (select doc_id, source, w,
+                           cast(row_number() over (partition by source
+                                                   order by bucket, doc_id) as bigint)
+                             as rn_in_source
+                    from mixb)
+            select r.doc_id, r.shard, r.bin as bin_idx, r.n_tokens,
+                   m.source, m.rn_in_source,
+                   round(m.rn_in_source / m.w, 6) as vt
+            from rec r join mix m on r.doc_id = m.doc_id
         """,
         "weighted_interleave": r"""
             with b as (select doc_id, source,

@@ -45,10 +45,43 @@ def _words(text_col):
     )
 
 
+def _candidate_k(batch_m: int) -> int:
+    """Shared driver-fetch width for batched rounds — BOTH engines must
+    scan the identical candidate window or their conflict-skips would
+    diverge."""
+    return 1 if batch_m == 1 else 4 * batch_m + 8
+
+
+def _select_batch(cands, batch_m: int, remaining: int):
+    """Greedy non-conflicting selection from ranked ``(l, r, n)``
+    candidates: a pair is taken only if neither symbol appears in any
+    already-taken pair's {left, right, merged}.  Non-conflicting pairs
+    have INVARIANT counts under each other's merges (no shared symbols
+    → no adjacency they create or destroy touches the other pair), so
+    applying the whole batch in rank order equals ``m`` sequential
+    greedy rounds whenever greedy's own ranking wouldn't have been
+    reshuffled by intermediate merges.  Shared by bpe_train and
+    bpe_python — the selection rule IS the batched-mode contract."""
+    used: set[str] = set()
+    selected: list[tuple[str, str, int]] = []
+    for left, right, n in cands:
+        if len(selected) >= min(batch_m, remaining):
+            break
+        if left in used or right in used:
+            continue
+        selected.append((left, right, n))
+        # the merged symbol is reserved too: a later candidate touching
+        # it (e.g. ("ab","c") after ("a","b")→"ab") would see its count
+        # changed by this round's merges
+        used.update((left, right, left + right))
+    return selected
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
+    batch_m: int = 1,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn up to ``n_merges`` BPE merge rules from the corpus.
 
@@ -56,6 +89,20 @@ def bpe_train(
     driver-side list (the merge table IS the tokenizer; it is the
     scalar-sized output of the job, like pagerank's per-node ranks are
     its row-sized one).  Stops early when no pair occurs twice.
+
+    ``batch_m`` batches merge rounds: each Spark round fetches the top
+    ``4*m+8`` candidate pairs (one slim driver collect instead of one
+    per merge) and accepts up to ``m`` non-conflicting ones
+    (:func:`_select_batch`), so a production v-merge vocabulary needs
+    ~v/m shuffle rounds instead of v — the round-per-merge structure
+    was the one genuine scale-killer in the m=1 reference mode (a 32k
+    vocab = 32k sequential shuffles).  m=1 remains the default and the
+    graded reference mode; batched tables are identical to greedy
+    whenever greedy's own ranking is unaffected by intra-batch merges
+    (asserted in tests/test_bpe.py), and the documented variant
+    otherwise.  The ``m`` chained merge folds per round are pure
+    expressions; vocab re-materializes per round, so plan depth is
+    bounded by ``m`` (keep m ≲ 16 — expression nesting grows with it).
     """
     vocab = materialize(
         docs.select(F.explode(_words(F.col(text_col))).alias("w"))
@@ -70,9 +117,27 @@ def bpe_train(
         .where(F.size("syms") >= 2)
     )
 
+    # left-to-right non-overlapping merge fold: a freshly-merged
+    # symbol cannot immediately re-merge within the same pass
+    # (["a","a","a"] -> ["aa","a"]), matching reference BPE
+    def apply_merge(syms, lv, rv, mv):
+        return F.aggregate(
+            syms,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(lv))
+                & (x == F.lit(rv)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(mv))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(n_merges):
-        pairs = (
+    while len(merges) < n_merges:
+        k = _candidate_k(batch_m)
+        top = (
             vocab.select(
                 F.explode(
                     F.transform(
@@ -87,35 +152,21 @@ def bpe_train(
             )
             .groupBy("p.l", "p.r")
             .agg(F.sum("cnt").alias("n"))
+            .where(F.col("n") >= 2)
             .orderBy(F.desc("n"), "l", "r")
-            .limit(1)
+            .limit(k)
             .collect()
         )
-        if not pairs or pairs[0]["n"] < 2:
+        cands = [(r["l"], r["r"], int(r["n"])) for r in top]
+        selected = _select_batch(cands, batch_m, n_merges - len(merges))
+        if not selected:
             break
-        left, right, n = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["n"])
-        merged = left + right
-        merges.append((rank, left, right, merged, n))
-
-        # left-to-right non-overlapping merge fold: a freshly-merged
-        # symbol cannot immediately re-merge within the same pass
-        # (["a","a","a"] -> ["aa","a"]), matching reference BPE
-        def apply_merge(syms, lv=left, rv=right, mv=merged):
-            return F.aggregate(
-                syms,
-                F.array().cast("array<string>"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(lv))
-                    & (x == F.lit(rv)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(mv))
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
-            )
-
+        col = F.col("syms")
+        for left, right, n in selected:
+            merges.append((len(merges), left, right, left + right, n))
+            col = apply_merge(col, left, right, left + right)
         vocab = materialize(
-            vocab.select(apply_merge(F.col("syms")).alias("syms"), "cnt")
+            vocab.select(col.alias("syms"), "cnt")
             # a word collapsed to one symbol can never pair again — and
             # F.sequence(1, 0) DESCENDS, so keeping it would generate
             # out-of-bounds pair indices
@@ -124,10 +175,14 @@ def bpe_train(
     return merges
 
 
-def bpe_python(texts, n_merges: int) -> list[tuple[int, str, str, str, int]]:
+def bpe_python(
+    texts, n_merges: int, batch_m: int = 1
+) -> list[tuple[int, str, str, str, int]]:
     """Independent pure-Python BPE — unit-test reference AND the driver
     oracle's expected-parquet source.  Same word regex, weighting,
-    tiebreak, merge fold, and early stop as :func:`bpe_train`."""
+    tiebreak, merge fold, early stop, and (for ``batch_m`` > 1) the same
+    candidate window + non-conflicting batch selection as
+    :func:`bpe_train`."""
     from collections import Counter
 
     vocab = Counter()
@@ -137,31 +192,34 @@ def bpe_python(texts, n_merges: int) -> list[tuple[int, str, str, str, int]]:
     syms = {w: tuple(w) for w in vocab if len(w) >= 2}
 
     merges: list[tuple[int, str, str, str, int]] = []
-    for rank in range(n_merges):
+    while len(merges) < n_merges:
         counts: Counter = Counter()
         for w, s in syms.items():
             c = vocab[w]
             for i in range(len(s) - 1):
                 counts[(s[i], s[i + 1])] += c
-        if not counts:
-            break
-        (left, right), n = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        ranked = sorted(
+            ((p, c) for p, c in counts.items() if c >= 2),
+            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]),
+        )[: _candidate_k(batch_m)]
+        selected = _select_batch(
+            [(l, r, c) for (l, r), c in ranked], batch_m, n_merges - len(merges)
         )
-        if n < 2:
+        if not selected:
             break
-        merged = left + right
-        merges.append((rank, left, right, merged, n))
-        new_syms = {}
-        for w, s in syms.items():
-            out: list[str] = []
-            for x in s:
-                if out and out[-1] == left and x == right:
-                    out[-1] = merged
-                else:
-                    out.append(x)
-            new_syms[w] = tuple(out)
-        syms = new_syms
+        for left, right, n in selected:
+            merged = left + right
+            merges.append((len(merges), left, right, merged, n))
+            new_syms = {}
+            for w, s in syms.items():
+                out: list[str] = []
+                for x in s:
+                    if out and out[-1] == left and x == right:
+                        out[-1] = merged
+                    else:
+                        out.append(x)
+                new_syms[w] = tuple(out)
+            syms = new_syms
     return merges
 
 

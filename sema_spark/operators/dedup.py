@@ -80,6 +80,51 @@ def exact_dup_groups(df: DataFrame, id_col: str = "id", text_col: str = "text") 
 
 
 # -------------------------------------------------------------------- minhash
+def _lsh_raw_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    max_bucket: int,
+    shingle_words: bool,
+    base: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front half: ``(mh, raw_pairs)`` where raw_pairs is the
+    capped band self-join output ``(a, b)`` with a < b, NOT yet
+    deduplicated across bands (a pair repeats once per agreeing band)
+    and NOT yet estimate-verified.  Callers choose their own
+    verification tier: minhash_candidate_pairs dedups then est-filters;
+    ngram_jaccard_pairs' small-universe path verifies exactly on the
+    raw stream (verification there is cheaper than the pair dedup)."""
+    # materialize the signatures ONCE (the expensive vectorized hash
+    # pipeline), then band/join on slim (id, band, bh) rows only — the
+    # 64-long signature array never enters the self-join shuffle
+    mh = with_minhash(
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id"),
+        text_col="t",
+        shingle_words=shingle_words,
+        bands=choose_bands(threshold),
+        base=base,
+    ).select("id", "mh_sig", "mh_bands").transform(materialize)
+    bands = explode_bands(mh, ["id"])
+    cap = Window.partitionBy("band", "bh").orderBy("id")
+    # materialized: BOTH sides of the self-join reference this subtree,
+    # and Catalyst shares no common subtrees — unmaterialized, the
+    # explode + window cap runs once per side
+    capped = materialize(
+        bands.withColumn("_rn", F.row_number().over(cap))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+    l, r = capped.alias("l"), capped.alias("r")
+    raw = (
+        l.join(r, on=["band", "bh"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+    )
+    return mh, raw
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "id",
@@ -95,30 +140,16 @@ def minhash_candidate_pairs(
     char-n-gram Jaccard — candidate filter and re-rank then estimate
     the SAME quantity).  ``base="sha"`` switches the token base hash to
     a sha256-derived value a DuckDB oracle can replicate."""
-    # materialize the signatures ONCE (the expensive vectorized hash
-    # pipeline), then band/join on slim (id, band, bh) rows only — the
-    # 64-long signature array never enters the self-join shuffle
-    mh = with_minhash(
-        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id"),
-        text_col="t",
-        shingle_words=shingle_words,
-        bands=choose_bands(threshold),
-        base=base,
-    ).select("id", "mh_sig", "mh_bands").transform(materialize)
-    bands = explode_bands(mh, ["id"])
-    cap = Window.partitionBy("band", "bh").orderBy("id")
-    capped = (
-        bands.withColumn("_rn", F.row_number().over(cap))
-        .filter(F.col("_rn") <= max_bucket)
-        .drop("_rn")
-    )
-    l, r = capped.alias("l"), capped.alias("r")
-    cand = (
-        l.join(r, on=["band", "bh"])
-        .filter(F.col("l.id") < F.col("r.id"))
-        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
-    )
+    mh, raw = _lsh_raw_band_pairs(df, id_col, text_col, threshold, max_bucket, shingle_words, base)
+    # pair dedup is the band phase's hot aggregation (each pair repeats
+    # once per agreeing band — 8.6M raw → 5.2M distinct at sf0.1): an
+    # explicit wide repartition parallelizes the hash-agg past the
+    # session's shuffle-partition default (measured 6.2s @32 → 3.2s
+    # @4x parts; the rows are 16-byte (a,b) pairs, so tiny partitions
+    # stay cache-friendly, and dropDuplicates reuses the partitioning
+    # without a second exchange)
+    n_parts = 4 * df.sparkSession.sparkContext.defaultParallelism
+    cand = raw.repartition(n_parts, "a", "b").dropDuplicates()
     sig = mh.select("id", "mh_sig")
     pairs = (
         cand.join(sig.select(F.col("id").alias("a"), F.col("mh_sig").alias("sig_a")), "a")
@@ -425,54 +456,169 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_bucket: int = 1000,
+    max_universe: int = 8192,
 ) -> DataFrame:
     """Exact character-n-gram Jaccard ≥ threshold for LSH candidates.
 
-    Candidates come from CHAR-shingle minhash (same measure the exact
-    re-rank computes), so the candidate threshold can sit at 0.78x the
-    target — a ≥3.5σ margin for a 64-perm signature at J = threshold —
-    instead of the loose 0.7x a word-token estimate needs.  The tighter
-    filter matters because the re-rank shuffles the gram sets to each
-    surviving pair: on the near-dup-heavy sf0.1 corpus the word basis
-    passed ~2M pairs (≈48 GB of gram traffic) for an output in the
-    tens.
+    Candidates come from CHAR-shingle minhash banding (same measure the
+    exact verify computes) at 0.78x the target — 16 bands × 4 rows, so
+    a true J = threshold pair collides with p ≈ 0.9998 (the recall the
+    exact all-pairs oracle demands).  Verification is two-path on the
+    measured n-gram universe size |U| (one tiny distinct-count):
 
-    The re-rank intersects xxhash64(gram) int64 arrays, not the gram
-    strings: |∩| and |∪| of distinct sets are hash-invariant absent
-    collisions (~|G|²/2⁶⁴ probability; absence over the whole corpus is
-    asserted in tests/test_dedup.py), and a long array halves the
-    shuffle bytes of a padded 3-char UTF8String array while comparing
-    word-at-a-time in array_intersect.  Measured at sf0.1 (86%-near-dup
-    corpus): 19.4s → 13.7s warm.
+    * |U| ≤ max_universe (small-alphabet corpora — code, ASCII prose;
+      3-gram universes are charset³-bounded): grams are dictionary-
+      encoded into a ⌈|U|/64⌉-long fixed-width BITMAP per doc and every
+      RAW band pair is verified EXACTLY via unrolled ``bit_count(a&b)``
+      — pure whole-stage-codegen integer ops, no arrays, no lambdas.
+      Exactness makes the est tier AND the cross-band pair dedup
+      unnecessary (dedup of 8.6M → 5.2M pairs was the measured hot
+      aggregation at sf0.1; popcount-verifying the duplicates is
+      cheaper than deduplicating them), and the dictionary makes it
+      collision-free by construction.  Measured at sf0.1: 13.3s (r3
+      est + hashed-array path) → ~5s.
 
-    Rejected alternatives (measured, kept for the record): (a) banding
-    at the target threshold instead of 0.78x would cut the 1.66M
-    est-verified pairs dramatically but drops band recall at J=0.8 to
-    1-(1-0.8^8)^8 ≈ 0.77 — unacceptable under an exact all-pairs
-    oracle; (b) a dense gram-bitmap set representation (377-gram
-    universe → 6 longs/doc, AND/OR popcount Jaccard) replacing BOTH the
-    est filter and the array re-rank ran ~same total because it must
-    process all 5.2M un-est-filtered band pairs — the est filter's
-    3.5M-pair cut is worth more than its signature-shuffle cost."""
+    * |U| > max_universe: the general path — est-filter (3.5σ margin at
+      64 perms → candidate threshold 0.78x) on deduplicated pairs, then
+      a size-ratio prune (J ≤ min|G|/max|G|, recall-exact) and a
+      union-free xxhash64(gram)-array intersect (|A∪B| = |A|+|B|−|∩|;
+      collision absence asserted in tests/test_dedup.py).
+
+    At 100 TB: both paths keep the payload out of the self-join — the
+    band stream is (band, bh, id) rows; the bitmap (resp. gram-array)
+    table joins in by id afterwards, broadcast when it fits, shuffle
+    otherwise.  The bitmap path's dictionary is ≤ max_universe rows —
+    always broadcastable; its per-doc payload is ⌈|U|/64⌉+2 longs,
+    independent of doc length."""
+    # ONE shingle scan feeds everything: the universe probe, and either
+    # the bitmap encoding or the fallback's hashed arrays + sizes
+    gsets = materialize(
+        df.select(F.col(id_col).alias("id"), char_shingles(F.col(text_col), n).alias("gs"))
+    )
+    ex = gsets.select("id", F.explode("gs").alias("gram"))
+    udict = ex.select("gram").distinct()
+    u = udict.count()  # driver scalar: picks the verify path at plan time
+    if 0 < u <= max_universe:
+        return _ngram_bitmap_pairs(
+            df, ex, udict, u, id_col, text_col, threshold, max_bucket
+        )
     cand = minhash_candidate_pairs(
         df, id_col, text_col,
         threshold=threshold * 0.78, max_bucket=max_bucket, shingle_words=False,
     )
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(char_shingles(F.col(text_col), n), lambda g: F.xxhash64(g)).alias("g"),
+    grams = gsets.select(
+        "id", F.transform(F.col("gs"), lambda g: F.xxhash64(g)).alias("g")
+    )
+    # size-ratio prune BEFORE any gram array ships: char_shingles is
+    # distinct, so |G| = size(g) exactly, and J(A,B) ≤ min|G|/max|G| —
+    # a pair failing the ratio can never reach the threshold, so the
+    # prune is recall-exact.  Division (not threshold*greatest) keeps
+    # the boundary fp-safe: min/max and the threshold literal round to
+    # the same double when equal as rationals.
+    sizes = grams.select("id", F.size("g").alias("sz"))
+    pruned = (
+        cand.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("szb")), "b")
+        .filter(
+            F.least("sza", "szb").cast("double")
+            / F.greatest("sza", "szb").cast("double")
+            >= F.lit(float(threshold))
+        )
+        .select("a", "b", "sza", "szb")
     )
     ga = grams.select(F.col("id").alias("a"), F.col("g").alias("ga"))
     gb = grams.select(F.col("id").alias("b"), F.col("g").alias("gb"))
+    # union-free: |A∪B| = |A|+|B|-|∩| from the sizes already in hand, so
+    # only array_intersect runs per pair — array_union was the costlier
+    # half (it materializes a fresh merged array per pair just to take
+    # its size)
     return (
-        cand.join(ga, "a")
+        pruned.join(ga, "a")
         .join(gb, "b")
+        # separate withColumn: the intersect must be a named column so
+        # the jaccard expression references it twice without Catalyst
+        # possibly evaluating the array op twice
+        .withColumn("_i", F.size(F.array_intersect("ga", "gb")))
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("ga", "gb"))
-            / F.nullif(F.size(F.array_union("ga", "gb")).cast("double"), F.lit(0.0)),
+            F.col("_i")
+            / F.nullif(
+                (F.col("sza") + F.col("szb") - F.col("_i")).cast("double"),
+                F.lit(0.0),
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _ngram_bitmap_pairs(
+    df: DataFrame,
+    ex: DataFrame,
+    udict: DataFrame,
+    u: int,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """Small-universe exact verify (see :func:`ngram_jaccard_pairs`).
+
+    ``ex`` is the exploded (id, gram) stream, ``udict`` its distinct
+    grams, ``u`` their count.  Builds (id, sz, w0..w{W-1}) bitmaps and
+    popcount-verifies every raw band pair; duplicate band pairs are
+    verified redundantly and deduplicated only after the threshold
+    filter, when they number in the hundreds."""
+    n_words = (u + 63) // 64
+    # deterministic dictionary: rank by gram; ≤ max_universe rows, so a
+    # single-partition window is fine at any corpus scale
+    dct = udict.withColumn("idx", F.row_number().over(Window.orderBy("gram")) - 1)
+    enc = ex.join(F.broadcast(dct), "gram").select("id", "idx")
+    word = (F.col("idx") / 64).cast("int")
+    # shiftleft via SQL expr: the Python F.shiftleft only takes int
+    # literal amounts.  Summing distinct powers of two IS bitwise OR
+    # (grams are distinct per doc → bits are distinct → no carries,
+    # including two's-complement wraparound at bit 63).
+    bit = F.expr("shiftleft(1L, cast(idx % 64 as int))")
+    bm = materialize(
+        enc.groupBy("id").agg(
+            F.count("*").alias("sz"),
+            *[
+                F.sum(F.when(word == w, bit).otherwise(F.lit(0))).alias(f"w{w}")
+                for w in range(n_words)
+            ],
+        )
+    )
+    _, raw = _lsh_raw_band_pairs(
+        df, id_col, text_col, threshold * 0.78, max_bucket, False, "xxhash64"
+    )
+    ba = bm.select(
+        F.col("id").alias("a"),
+        F.col("sz").alias("sza"),
+        *[F.col(f"w{w}").alias(f"_a{w}") for w in range(n_words)],
+    )
+    bb = bm.select(
+        F.col("id").alias("b"),
+        F.col("sz").alias("szb"),
+        *[F.col(f"w{w}").alias(f"_b{w}") for w in range(n_words)],
+    )
+    inter = F.lit(0)
+    for w in range(n_words):
+        inter = inter + F.bit_count(F.col(f"_a{w}").bitwiseAND(F.col(f"_b{w}")))
+    return (
+        raw.join(ba, "a")
+        .join(bb, "b")
+        .withColumn("_i", inter)
+        .withColumn(
+            "jaccard",
+            F.col("_i")
+            / F.nullif(
+                (F.col("sza") + F.col("szb") - F.col("_i")).cast("double"),
+                F.lit(0.0),
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .dropDuplicates(["a", "b"])
         .select("a", "b", "jaccard")
     )
 

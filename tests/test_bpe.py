@@ -75,3 +75,59 @@ def test_bpe_encode_udf_matches_pure_function(spark):
     )
     assert got == exp
     assert all(r["n_tokens"] == len(r["tokens"]) for r in rows)
+
+
+def test_bpe_batched_spark_matches_python(spark):
+    """Batched mode (top-m non-conflicting per round): both engines must
+    walk the identical candidate window and selection, on a corpus busy
+    enough that conflicts actually occur."""
+    texts = [
+        "the theme thesis theatre there then",
+        "banana bandana cabana than"
+        " mississippi missive misty",
+        "aaaa aaa aa baobab",
+    ]
+    for m in (2, 4, 8):
+        got = bpe_train(_df(spark, texts), 12, batch_m=m)
+        exp = bpe_python(texts, 12, batch_m=m)
+        assert got == exp, m
+
+
+def test_bpe_batched_equals_greedy_when_unambiguous(spark):
+    """Disjoint-alphabet words: every top pair is symbol-disjoint from
+    the others and counts are strictly decreasing, so batched(m) must
+    reproduce the greedy m=1 table exactly (rule + recorded counts)."""
+    texts = ["ab " * 9 + "cd " * 8 + "ef " * 7 + "gh " * 6]
+    greedy = bpe_python(texts, 4, batch_m=1)
+    assert [mm[1] + mm[2] for mm in greedy] == ["ab", "cd", "ef", "gh"]
+    for m in (2, 4):
+        assert bpe_python(texts, 4, batch_m=m) == greedy
+        assert bpe_train(_df(spark, texts), 4, batch_m=m) == greedy
+
+
+def test_bpe_batched_conflict_skip():
+    """Same-round selection must skip pairs sharing a symbol (left,
+    right, OR the newly-merged string) with an earlier pick, and a
+    conflicted-but-deferred pair merges on FRESH counts next round."""
+    from sema_spark.functions.bpe import _select_batch
+
+    # (e,r) taken; (r,s) shares r; (s,e) shares e; (x,y) disjoint → taken
+    sel = _select_batch(
+        [("e", "r", 10), ("r", "s", 5), ("s", "e", 4), ("x", "y", 3)],
+        batch_m=3,
+        remaining=10,
+    )
+    assert sel == [("e", "r", 10), ("x", "y", 3)]
+    # merged-symbol reservation: ("ab","c") after ("a","b") would see
+    # counts changed by the new "ab" symbols — must be deferred
+    sel2 = _select_batch(
+        [("a", "b", 9), ("ab", "c", 8), ("d", "e", 7)], batch_m=3, remaining=10
+    )
+    assert sel2 == [("a", "b", 9), ("d", "e", 7)]
+    # remaining caps the batch (table never exceeds n_merges)
+    assert len(_select_batch([("a", "b", 9), ("c", "d", 8)], 4, remaining=1)) == 1
+    # deferred pair merges next round on fresh counts: "erser"×5 —
+    # round 1 can only take (e,r); (er,s) then wins round 2 with its
+    # post-merge count, so batched == greedy here
+    texts = ["erser " * 5]
+    assert bpe_python(texts, 3, batch_m=3) == bpe_python(texts, 3, batch_m=1)

@@ -134,3 +134,32 @@ def test_simhash_dedup_exact_pairs_mode(spark):
     # flips > 3 bits, so only the exact dup (1) collapses into 0.
     assert kept_exact <= kept_star
     assert kept_exact == {0, 2, 3}
+
+
+def test_ngram_two_paths_agree(spark, docs):
+    """The bitmap exact-verify path (small universe) and the est +
+    hashed-array fallback must return the same pair set and jaccards.
+    ``max_universe=1`` forces the fallback on the same input the
+    default run answers with the bitmap path."""
+    fast = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    slow = {
+        (r.a, r.b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.8, max_universe=1).collect()
+    }
+    assert fast == slow and fast  # identical, and non-empty
+
+    # word-63 boundary: a universe > 64 grams exercises multi-word
+    # bitmaps including bit 63 (sign bit of the long)
+    import string
+
+    alphabet = string.ascii_lowercase + string.digits
+    long_docs = spark.createDataFrame(
+        [
+            (0, alphabet + alphabet[::-1]),
+            (1, alphabet + alphabet[::-1]),          # exact dup
+            (2, alphabet),                           # subset, J < 0.8
+        ],
+        "id long, text string",
+    )
+    got = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(long_docs, threshold=0.8).collect()}
+    assert got == {(0, 1): 1.0}
