@@ -812,17 +812,17 @@ def q_kg_label_propagation(spark, sf):
 _BPE_MERGES_CACHE: dict = {}
 
 
-def _xs_bpe_merges(spark, n_merges: int = 20):
+def _xs_bpe_merges(spark, n_merges: int = 20, batch_m: int = 1):
     """Train (once per process) the xs-corpus BPE merge table — both BPE
     queries consume the identical table, and the 20-round iterative job
     is the expensive part; the cache halves the suite's BPE cost."""
     from sema_spark.corpus import corpus_df
     from sema_spark.functions.bpe import bpe_train
 
-    key = ("xs", n_merges)
+    key = ("xs", n_merges, batch_m)
     if key not in _BPE_MERGES_CACHE:
         docs = corpus_df(spark, "xs").select(F.col("content").alias("text"))
-        _BPE_MERGES_CACHE[key] = bpe_train(docs, n_merges)
+        _BPE_MERGES_CACHE[key] = bpe_train(docs, n_merges, batch_m=batch_m)
     return _BPE_MERGES_CACHE[key]
 
 
@@ -856,6 +856,18 @@ def q_bpe_token_counts(spark, sf):
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "token")
         .limit(50)
+    )
+
+
+def q_bpe_merges_batched(spark, sf):
+    """Batched BPE training (batch_m=4: top-4 non-conflicting merges per
+    Spark round — the v/m-shuffle-rounds scale mode) over the xs corpus;
+    oracle = the independent pure-Python BPE run with the IDENTICAL
+    candidate window + selection rule, materialized as
+    bpe_merges_m4.parquet."""
+    merges = _xs_bpe_merges(spark, 20, batch_m=4)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, pair_count long"
     )
 
 
@@ -1062,46 +1074,12 @@ def q_curation_v2(spark, sf):
     of the schedule key).  The oracle replays the whole chain in one
     SQL statement — composition plumbing, not just each stage, is what
     this gates."""
-    from sema_spark.operators.curation import (
-        decontaminate,
-        dedup_passages,
-        pack_sequences,
-        repetition_signals,
-        weighted_interleave,
-    )
+    from sema_spark.operators.curation import curation_chain
 
-    from sema_spark.plans.materialize import materialize
-
-    docs = _docs(spark, sf)
-    bench = docs.where(F.col("doc_id") % 97 == 0)
-    train = docs.where(F.col("doc_id") % 97 != 0)
-    clean_ids = (
-        decontaminate(train, bench, n=3)
-        .where(~F.col("contaminated"))
-        .select("doc_id")
-    )
-    # cut the plan between stages: each later operator consumes `train`
-    # more than once internally, and Catalyst would re-derive the whole
-    # decontamination subtree per consumer (branch-sharing lesson from
-    # the KG pipeline)
-    train = materialize(train.join(clean_ids, "doc_id", "left_semi"))
-    keep_ids = repetition_signals(train).where("keep").select("doc_id")
-    train = materialize(train.join(keep_ids, "doc_id", "left_semi"))
-    cleaned = (
-        dedup_passages(train, passage_words=10)
-        .where(F.col("n_kept") > 0)
-        .select("doc_id", F.col("clean_text").alias("text"))
-    )
-    cleaned = materialize(cleaned)
-    packed = pack_sequences(cleaned, capacity=256, n_shards=4)
-    mix = weighted_interleave(
-        cleaned.join(docs.select("doc_id", "source"), "doc_id"),
-        {f"src{i}": 1.0 / (1.0 + i % 4) for i in range(20)},
-        source_col="source",
-        id_col="doc_id",
-    )
-    return packed.join(mix, "doc_id").select(
-        "doc_id", "shard", "bin_idx", "n_tokens", "source", "rn_in_source", "vt"
+    return curation_chain(
+        _docs(spark, sf),
+        weights={f"src{i}": 1.0 / (1.0 + i % 4) for i in range(20)},
+        n_shards=4,
     )
 
 
@@ -1191,6 +1169,7 @@ def _build_registry():
         "j2_cosine_topk": q_j2_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "bpe_merges": q_bpe_merges,
+        "bpe_merges_batched": q_bpe_merges_batched,
         "bpe_token_counts": q_bpe_token_counts,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "kg_pipeline_edges": q_kg_pipeline_edges,
@@ -1892,6 +1871,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": f"""
             select rank, "left", "right", merged, pair_count
             from read_parquet('{KG_EXPECTED_DIR}/bpe_merges.parquet')
+        """,
+        "bpe_merges_batched": f"""
+            select rank, "left", "right", merged, pair_count
+            from read_parquet('{KG_EXPECTED_DIR}/bpe_merges_m4.parquet')
         """,
         "bpe_token_counts": f"""
             select token, n

