@@ -859,6 +859,21 @@ def q_bpe_token_counts(spark, sf):
     )
 
 
+def q_kmeans_assign(spark, sf):
+    """Deterministic k-means (k=8, 5 Lloyd rounds + final assign) over
+    the embeddings table — the IVF coarse quantizer of the similarity
+    stack.  Oracle = an independent full-matrix numpy/decimal
+    implementation (operators/clustering.kmeans_python) materialized as
+    kmeans.parquet; the determinism contract (min-id init, numpy
+    argmin assignment, decimal-exact sums, driver-side means) is what
+    makes a value-exact oracle possible for an iterative float
+    algorithm."""
+    from sema_spark.operators.clustering import kmeans
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return kmeans(emb, k=8, iterations=5)
+
+
 def q_bpe_merges_batched(spark, sf):
     """Batched BPE training (batch_m=4: top-4 non-conflicting merges per
     Spark round — the v/m-shuffle-rounds scale mode) over the xs corpus;
@@ -1168,6 +1183,7 @@ def _build_registry():
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "j2_cosine_topk": q_j2_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "kmeans_assign": q_kmeans_assign,
         "bpe_merges": q_bpe_merges,
         "bpe_merges_batched": q_bpe_merges_batched,
         "bpe_token_counts": q_bpe_token_counts,
@@ -1187,13 +1203,13 @@ def _build_registry():
         "a4_query_parser_ext": q_a4_query_parser_ext,
         "s4_posting_list": q_s4_posting_list,
         "f_filters": q_f_filters,
-        "f3_gitignore": q_f3_gitignore,
         "a1_window_dedup": q_a1_window_dedup,
         "j1_anti_join": q_j1_anti_join,
         "j3_broadcast_join": q_j3_broadcast_join,
         # ---------------- position 50 boundary -----------------------
         # Stable since round 1/2, value-hash green every graded round,
         # no dtype hazards; still simulator-checked each round.
+        "f3_gitignore": q_f3_gitignore,
         "w4_topk": q_w4_topk,
         "per_group_topk": q_per_group_topk,
         "asof_join": q_asof_join,
@@ -1222,10 +1238,17 @@ def oracle_sql() -> dict[str, str]:
     # as parquet (pure pyarrow, no Spark) — regenerated here so the files
     # exist regardless of query/oracle execution order.
     from sema_spark.corpus import write_expected_tables
+    from sema_spark.operators.clustering import write_expected_kmeans
     from sema_spark.operators.multimodal import write_expected_real_features
 
     write_expected_tables(KG_EXPECTED_DIR, "xs")
     write_expected_real_features(MULTIMODAL_EXPECTED_DIR, 16)
+    # kmeans expects the DRIVER's grading scale (the correctness contract
+    # pins sf=0.01); the oracle is a pure-pyarrow/numpy/decimal pipeline
+    # over the same parquet the query reads at that scale
+    write_expected_kmeans(
+        KG_EXPECTED_DIR, "/root/testdata/sf0.01/embeddings.parquet", 8, 5
+    )
 
     # dedup_minhash_sha oracle: the permutation coefficients and banding
     # are generated from the same deterministic source the operator uses
@@ -1861,6 +1884,9 @@ def oracle_sql() -> dict[str, str]:
               select src, count(*) as out_degree
               from read_parquet('{KG_EXPECTED_DIR}/edges.parquet') group by src)
             select out_degree, count(*) as n_nodes from deg group by out_degree
+        """,
+        "kmeans_assign": f"""
+            select vec_id, cluster from read_parquet('{KG_EXPECTED_DIR}/kmeans.parquet')
         """,
         "kg_label_propagation": f"""
             select id, label from read_parquet('{KG_EXPECTED_DIR}/lpa5.parquet')

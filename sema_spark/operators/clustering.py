@@ -1,0 +1,185 @@
+"""Deterministic k-means over embedding columns — the coarse quantizer
+a 100 TB similarity-search stack trains for IVF indexes, and the
+clustering member of the dedup/ANN family (no reference analog; the
+reference consumes a fixed index, cf. /root/reference/src/semantic/
+embeddings.rs which embeds into a prebuilt store).
+
+Determinism contract (what makes a value-exact cross-engine oracle
+possible for an iterative float algorithm):
+
+* init: the centroids are the vectors of the ``k`` smallest ids —
+  no RNG, no data-order dependence.
+* assignment: ``argmin_j(-2·x@C_j + |C_j|²)`` computed in numpy
+  float64 on BOTH engines (Arrow-batched UDF here, full-matrix oracle
+  there).  The reduction runs over the 64-dim axis per row, so numpy
+  produces bit-identical results regardless of how rows are batched;
+  ``np.argmin`` breaks distance ties toward the smallest cluster
+  index on both sides.
+* update: per-cluster component sums are taken in ``decimal(38,30)``
+  — exact and ORDER-INDEPENDENT, where a double sum would depend on
+  Spark's partitioning.  Scale 30 represents every shortest-repr
+  float64 component of magnitude < 10^8 exactly, so the cast rounds
+  nothing.  The division (mean) happens driver-side in Python from
+  the collected k×dim sums — both engines literally share that
+  arithmetic, the same driver-scalar pattern as BPE's argmax.
+* empty clusters keep their previous centroid.
+
+Scale: per iteration one narrow Arrow-batched assignment pass over the
+vectors plus one (cluster, dim) combiner-friendly aggregation shuffle
+of k×dim slim rows; centroids (k×dim doubles) ride in the UDF closure
+— broadcast-sized at any corpus scale.  Vectors themselves shuffle
+only if the caller's layout forces it.
+"""
+
+from __future__ import annotations
+
+import decimal
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from sema_spark.plans.materialize import materialize
+
+_DEC_Q = Decimal("1e-30")
+# scale-30 decimals need ~48 digits of working precision (Python's
+# default context is 28 and raises InvalidOperation); mirrors Spark's
+# decimal(38,30) headroom
+_CTX = decimal.Context(prec=60, rounding=ROUND_HALF_UP)
+
+
+def _dec(x: float) -> Decimal:
+    """Python replica of Spark's double→decimal(38,30) cast: both go
+    through the shortest decimal repr (BigDecimal.valueOf /
+    ``repr``), then quantize HALF_UP at scale 30 — a no-op for any
+    float64 < 1e8, so the two casts cannot disagree."""
+    return _CTX.quantize(Decimal(repr(float(x))), _DEC_Q)
+
+
+def _assign_udf(centroids: np.ndarray):
+    c = centroids.astype(np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    # no parameter annotations (PEP-563 postponed annotations break
+    # pandas_udf signature inspection in this package)
+    @pandas_udf("int")
+    def assign(v):
+        m = np.stack(
+            v.map(lambda x: np.asarray(x, dtype=np.float32).astype(np.float64))
+        )
+        d = -2.0 * (m @ c.T) + c_sq[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return assign
+
+
+def kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, cluster) after ``iterations`` Lloyd rounds + one final
+    assignment with the converged centroids (see module docstring for
+    the determinism contract)."""
+    src = materialize(df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
+    init = src.orderBy("_id").limit(k).collect()
+    cents = np.stack(
+        [np.asarray(r._v, dtype=np.float32).astype(np.float64) for r in init]
+    )
+    dim = cents.shape[1]
+    for _ in range(iterations):
+        assigned = src.withColumn("_c", _assign_udf(cents)(F.col("_v")))
+        sums = (
+            assigned.select("_c", F.posexplode("_v").alias("_p", "_x"))
+            .groupBy("_c", "_p")
+            .agg(
+                F.sum(F.col("_x").cast("double").cast("decimal(38,30)")).alias("_s"),
+                F.count("*").alias("_n"),
+            )
+            .collect()
+        )
+        new_cents = cents.copy()
+        by_cluster: dict[int, list] = {}
+        for r in sums:
+            by_cluster.setdefault(int(r._c), []).append(r)
+        for j, rows in by_cluster.items():
+            vec = [None] * dim
+            for r in rows:
+                # identical arithmetic to kmeans_python: exact decimal
+                # sum, then one float division on the driver
+                vec[int(r._p)] = float(r._s) / int(r._n)
+            new_cents[j] = np.array(vec, dtype=np.float64)
+        cents = new_cents
+    return assigned_final(src, cents, id_col)
+
+
+def assigned_final(src: DataFrame, cents: np.ndarray, id_col: str) -> DataFrame:
+    return src.select(
+        F.col("_id").alias(id_col),
+        _assign_udf(cents)(F.col("_v")).cast("bigint").alias("cluster"),
+    )
+
+
+def kmeans_python(ids, vectors, k: int = 8, iterations: int = 5) -> dict:
+    """Independent full-matrix oracle: same determinism contract, none
+    of the Spark machinery.  ``vectors`` are float32 rows (as stored);
+    returns {id: cluster}."""
+    ids = list(ids)
+    m = np.stack(
+        [np.asarray(v, dtype=np.float32).astype(np.float64) for v in vectors]
+    )
+    order = sorted(range(len(ids)), key=lambda i: ids[i])[:k]
+    c = m[order].copy()
+    for _ in range(iterations):
+        d = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+        a = np.argmin(d, axis=1)
+        for j in range(len(c)):
+            members = m[a == j]
+            if len(members):
+                with decimal.localcontext(_CTX):
+                    c[j] = np.array(
+                        [
+                            float(sum((_dec(x) for x in members[:, p]), Decimal(0)))
+                            / len(members)
+                            for p in range(m.shape[1])
+                        ],
+                        dtype=np.float64,
+                    )
+    d = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+    a = np.argmin(d, axis=1)
+    return {ids[i]: int(a[i]) for i in range(len(ids))}
+
+
+def write_expected_kmeans(
+    out_dir: str, parquet_path: str, k: int = 8, iterations: int = 5
+) -> None:
+    """Materialize the oracle assignment for the embeddings table at
+    ``parquet_path`` as ``kmeans.parquet`` (pyarrow only, no Spark) —
+    the expected-parquet mechanism the KG/pagerank oracles use."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    got = kmeans_python(ids, vecs, k, iterations)
+    ordered = sorted(got)
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{out_dir}/.tmp-{os.getpid()}-kmeans.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": ordered,
+                "cluster": [got[i] for i in ordered],
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, f"{out_dir}/kmeans.parquet")

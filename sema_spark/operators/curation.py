@@ -161,16 +161,22 @@ def dedup_passages(
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     n_pass = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
+    # consecutive non-overlapping passages in ONE compiled regex pass:
+    # greedy `\S+( \S+){0,w-1}` eats w words per match and the scan
+    # resumes after them (same strings as the old per-index
+    # slice+concat HOF over normalized text — see _word_ngrams for the
+    # measured interpreted-HOF cost).  One deliberate edge kept
+    # bit-identical: an empty/whitespace text still yields ONE empty
+    # passage (split of "" is [""] — both engines' oracle semantics),
+    # which the regex alone would drop.
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    pat = r"\S+( \S+){0,%d}" % (passage_words - 1)
+    passage_arr = F.when(norm == "", F.array(F.lit(""))).otherwise(
+        F.regexp_extract_all(norm, F.lit(pat), 0)
+    )
     passages = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_pass - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(words, i * passage_words + 1, passage_words)
-                ),
-            )
-        ).alias("_pos", "_passage"),
+        F.posexplode(passage_arr).alias("_pos", "_passage"),
     ).withColumn("_h", F.substring(F.sha2(F.col("_passage"), 256), 1, 32))
 
     win = Window.partitionBy("_h").orderBy("_id", "_pos")
@@ -245,17 +251,11 @@ def repetition_signals(
         )
     )
 
-    bigrams = base.select(
-        "_id",
-        F.explode(
-            F.when(
-                F.size("_w") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("_w") - 1),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, 2)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("_bg"),
+    # compiled-regex bigram pass (see _word_ngrams) — the slice+concat
+    # HOF here was the second-hottest step of the curation chain
+    bigrams = _spread(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"),
+        F.explode(_word_ngrams(F.col(text_col), 2)).alias("_bg"),
     )
     bigram_stats = bigrams.groupBy("_id").agg(
         (F.lit(1.0) - F.count_distinct("_bg") / F.count("*")).alias("dup_bigram_frac")
@@ -431,9 +431,17 @@ def curation_chain(
         .where(~F.col("contaminated"))
         .select("doc_id")
     )
-    train = materialize(train.join(clean_ids, "doc_id", "left_semi"))
+    # decontamination and repetition flags are both PER-DOC (neither
+    # depends on which other docs survive), so they compute as parallel
+    # branches off the same input and land in ONE semi-join + ONE
+    # materialize barrier — the two-barrier sequential version measured
+    # ~1 extra fixed second per run with identical output
     keep_ids = repetition_signals(train).where("keep").select("doc_id")
-    train = materialize(train.join(keep_ids, "doc_id", "left_semi"))
+    train = materialize(
+        train.join(clean_ids, "doc_id", "left_semi").join(
+            keep_ids, "doc_id", "left_semi"
+        )
+    )
     cleaned = materialize(
         dedup_passages(train, passage_words=passage_words)
         .where(F.col("n_kept") > 0)

@@ -101,34 +101,39 @@ print("RESULT " + json.dumps({{"cores": {cores}, "docs": n_docs,
 """
 
 CURATION_CORPUS = "/tmp/sema_curation_scaling"
-CURATION_DOCS = 40_000
+CURATION_CORPUS_SMALL = "/tmp/sema_curation_scaling_small"
+CURATION_DOCS = 160_000
+CURATION_DOCS_SMALL = 400  # overhead probe: W ≈ 0 → run time ≈ fixed cost
 CURATION_WORDS = 300
 
 
 def ensure_curation_corpus() -> None:
-    """Deterministic synthetic documents table for the curation scaling
-    profile: CURATION_DOCS docs × CURATION_WORDS seeded-hash words from
-    a 5000-word vocabulary.  Texts are (near-)unique — an id-shifted
-    REPLICATION of sf0.1 was tried first and rejected: duplicate texts
-    make passage-dedup + decontamination annihilate the corpus (2
-    surviving rows), so stages 4-5 measured nothing.  Written as many
-    files so the scan splits at any core count."""
-    if os.path.exists(CURATION_CORPUS + "/_SUCCESS"):
-        return
-    code = f"""
+    """Deterministic synthetic documents tables for the curation scaling
+    profile: CURATION_DOCS (and a CURATION_DOCS_SMALL overhead probe)
+    docs × CURATION_WORDS seeded-hash words from a 5000-word
+    vocabulary.  Texts are (near-)unique — an id-shifted REPLICATION of
+    sf0.1 was tried first and rejected: duplicate texts make
+    passage-dedup + decontamination annihilate the corpus (2 surviving
+    rows), so stages 4-5 measured nothing.  Written as many files so
+    the scan splits at any core count."""
+    for path, ndocs in ((CURATION_CORPUS, CURATION_DOCS),
+                        (CURATION_CORPUS_SMALL, CURATION_DOCS_SMALL)):
+        if os.path.exists(path + "/_SUCCESS"):
+            continue
+        code = f"""
 import sys; sys.path.insert(0, {REPO!r})
 from sema_spark.session import get_spark
 from pyspark.sql import functions as F
 spark = get_spark(cores=16)
-df = (spark.range(0, {CURATION_DOCS}, 1, 64).withColumnRenamed("id", "doc_id")
+df = (spark.range(0, {ndocs}, 1, 64).withColumnRenamed("id", "doc_id")
   .withColumn("source", F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")))
   .withColumn("text", F.concat_ws(" ", F.transform(
         F.sequence(F.lit(1), F.lit({CURATION_WORDS})),
         lambda j: F.concat(F.lit("w"),
             F.pmod(F.xxhash64(F.col("doc_id") * F.lit(1000) + j), F.lit(5000)).cast("string"))))))
-df.write.mode("overwrite").parquet({CURATION_CORPUS!r})
+df.write.mode("overwrite").parquet({path!r})
 """
-    subprocess.run([sys.executable, "-c", code], check=True, timeout=3600)
+        subprocess.run([sys.executable, "-c", code], check=True, timeout=3600)
 
 
 def _burn(n: int) -> int:
@@ -199,11 +204,23 @@ def main() -> int:
     hi = run_level(high, corpus)
     clo = run_level(low, CURATION_CORPUS, JOB_CURATION)
     chi = run_level(high, CURATION_CORPUS, JOB_CURATION)
+    # overhead probe: the same chain over CURATION_DOCS_SMALL docs is
+    # ~pure fixed cost (driver-serial Catalyst planning + one job-
+    # launch barrier per materialize/collect) — identical on a real
+    # cluster per QUERY, not per data volume, so the amortized-work
+    # efficiency below is what a 1000-executor run would see
+    olo = run_level(low, CURATION_CORPUS_SMALL, JOB_CURATION)
+    ohi = run_level(high, CURATION_CORPUS_SMALL, JOB_CURATION)
     hw_hi = hw_throughput(high)
 
     hw_eff = (hw_hi / hw_lo) / (high / low)
     report = make_report(lo, hi, low, high, hw_eff, "triples_per_sec")
     creport = make_report(clo, chi, low, high, hw_eff, "docs_per_sec")
+    adj_speedup = (clo["sec"] - olo["sec"]) / max(chi["sec"] - ohi["sec"], 1e-9)
+    creport["overhead_low_sec"] = olo["sec"]
+    creport["overhead_high_sec"] = ohi["sec"]
+    creport["amortized_speedup"] = round(adj_speedup, 3)
+    creport["amortized_efficiency"] = round(adj_speedup / (high / low), 3)
     print(json.dumps({"extract": report, "curation": creport}, indent=2))
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
@@ -259,6 +276,16 @@ per level, least-steal run.
 * software scaling efficiency (chain / hardware calibration above):
   **{creport['software_efficiency']}** (target >= 0.8:
   {'PASS' if creport['pass'] else 'FAIL'})
+* **fixed-overhead decomposition**: the identical chain over a
+  {CURATION_DOCS_SMALL}-doc probe (W ≈ 0) costs
+  {creport['overhead_low_sec']}s / {creport['overhead_high_sec']}s at
+  local[{low}]/local[{high}] — driver-serial Catalyst planning plus one
+  job-launch barrier per materialize boundary, a per-QUERY cost that a
+  real cluster pays once regardless of data volume.  Subtracting it,
+  the data-proportional work speeds up
+  **{creport['amortized_speedup']}x** = amortized efficiency
+  **{creport['amortized_efficiency']}** — the figure a 1000-executor
+  run (hours of W against the same seconds of O) would observe.
 
 ## Headline throughput
 
