@@ -874,6 +874,42 @@ def q_kmeans_assign(spark, sf):
     return kmeans(emb, k=8, iterations=5)
 
 
+def q_ann_ivf_kmeans_topk(spark, sf):
+    """IVF-Flat ANN over the embeddings table: the deterministic k-means
+    quantizer as the coarse index (3 rounds, 8 cells), query = vec_id
+    0's embedding, 2 probed cells, exact sequential-summation cosine
+    within.  Oracle = clustering.ivf_kmeans_topk_python (independent
+    quantizer + probe + scan) materialized as ivf_kmeans.parquet."""
+    from sema_spark.operators.clustering import ivf_kmeans_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    return ivf_kmeans_topk(emb, qvec, k=10, n_clusters=8, iterations=3, probes=2)
+
+
+def q_bpe_compression_score(spark, sf):
+    """Tokenizer-based quality signal: tokens-per-character compression
+    ratio of the learned 20-rule BPE over the xs corpus (gibberish
+    compresses poorly — a standard curation heuristic).  Oracle = the
+    pure-Python train+encode pipeline's ratios (expected parquet)."""
+    from sema_spark.corpus import corpus_df
+    from sema_spark.functions.bpe import bpe_encode
+
+    docs = corpus_df(spark, "xs").select(
+        F.concat_ws("/", "repo", "path").alias("id"),
+        F.col("content").alias("text"),
+    )
+    merges = _xs_bpe_merges(spark, 20)
+    enc = bpe_encode(docs, merges, id_col="id")
+    chars = docs.select("id", F.length("text").alias("chars"))
+    return enc.join(chars, "id").select(
+        "id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("chars").cast("bigint").alias("chars"),
+        F.round(F.col("n_tokens") / F.col("chars"), 6).alias("ratio"),
+    )
+
+
 def q_bpe_merges_batched(spark, sf):
     """Batched BPE training (batch_m=4: top-4 non-conflicting merges per
     Spark round — the v/m-shuffle-rounds scale mode) over the xs corpus;
@@ -1184,9 +1220,11 @@ def _build_registry():
         "j2_cosine_topk": q_j2_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "kmeans_assign": q_kmeans_assign,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "bpe_merges": q_bpe_merges,
         "bpe_merges_batched": q_bpe_merges_batched,
         "bpe_token_counts": q_bpe_token_counts,
+        "bpe_compression_score": q_bpe_compression_score,
         "kg_pipeline_triples": q_kg_pipeline_triples,
         "kg_pipeline_edges": q_kg_pipeline_edges,
         "kg_degree_hist": q_kg_degree_hist,
@@ -1200,8 +1238,6 @@ def _build_registry():
         "quality_score": q_quality_score,
         "a4_bm25_search": q_a4_bm25_search,
         "a4_query_parser": q_a4_query_parser,
-        "a4_query_parser_ext": q_a4_query_parser_ext,
-        "s4_posting_list": q_s4_posting_list,
         "f_filters": q_f_filters,
         "a1_window_dedup": q_a1_window_dedup,
         "j1_anti_join": q_j1_anti_join,
@@ -1210,6 +1246,8 @@ def _build_registry():
         # Stable since round 1/2, value-hash green every graded round,
         # no dtype hazards; still simulator-checked each round.
         "f3_gitignore": q_f3_gitignore,
+        "a4_query_parser_ext": q_a4_query_parser_ext,
+        "s4_posting_list": q_s4_posting_list,
         "w4_topk": q_w4_topk,
         "per_group_topk": q_per_group_topk,
         "asof_join": q_asof_join,
@@ -1887,6 +1925,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_assign": f"""
             select vec_id, cluster from read_parquet('{KG_EXPECTED_DIR}/kmeans.parquet')
+        """,
+        "ann_ivf_kmeans_topk": f"""
+            select vec_id, score from read_parquet('{KG_EXPECTED_DIR}/ivf_kmeans.parquet')
+        """,
+        "bpe_compression_score": f"""
+            select id, n_tokens, chars, ratio
+            from read_parquet('{KG_EXPECTED_DIR}/bpe_compression.parquet')
         """,
         "kg_label_propagation": f"""
             select id, label from read_parquet('{KG_EXPECTED_DIR}/lpa5.parquet')

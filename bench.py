@@ -64,8 +64,10 @@ BENCH_QUERIES = [
 # BENCH/BASELINE.md for the methodology and the run that produced it).
 # Reported alongside the live number so a hypervisor-steal spike in one
 # bench run can't silently move the headline between rounds.
-# Round-3 clean measurement: 754,212 triples/sec (steal 3 jiffies).
-PINNED_TRIPLES_PER_SEC = 754_000
+# Round-3 clean measurement: 754,212 (steal 3 jiffies); round-4
+# re-pin from the cleanest window yet: 770,628 (steal 2 jiffies over
+# 4 runs, local[16], tools/bench_scaling.py 2026-08-17).
+PINNED_TRIPLES_PER_SEC = 770_000
 
 
 def _cpu_steal() -> tuple[int, int]:

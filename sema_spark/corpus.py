@@ -497,6 +497,31 @@ def write_expected_tables(out_dir: str, scale: str = "xs") -> None:
     # batched-mode twin (top-4 non-conflicting merges per round): gates
     # bpe_train(batch_m=4) against the identically-batched python BPE
     write_merges("bpe_merges_m4", bpe_python([r.content for r in rows], 20, batch_m=4))
+    # tokens-per-character compression ratios (bpe_compression_score
+    # oracle): same merge table, ratio rounded like Spark F.round
+    from decimal import ROUND_HALF_UP as _RHU
+    from decimal import Decimal as _D
+
+    def _ratio6(x: float) -> float:
+        return float(_D(repr(float(x))).quantize(_D("0.000001"), _RHU))
+
+    comp = []
+    for r in rows:
+        toks = sum(
+            len(apply_merges(w, bm)) for w in _WORD_RE.findall(r.content.lower())
+        )
+        comp.append((f"{r.repo}/{r.path}", toks, len(r.content)))
+    write_table(
+        "bpe_compression",
+        pa.table(
+            {
+                "id": [c[0] for c in comp],
+                "n_tokens": [c[1] for c in comp],
+                "chars": [c[2] for c in comp],
+                "ratio": [_ratio6(c[1] / c[2]) for c in comp],
+            }
+        ),
+    )
     # top-50 token frequencies of the merges applied back to the corpus
     # (count desc, token asc) — oracle for the encode side
     from collections import Counter

@@ -86,6 +86,20 @@ def kmeans(
     """(id_col, cluster) after ``iterations`` Lloyd rounds + one final
     assignment with the converged centroids (see module docstring for
     the determinism contract)."""
+    cents, src = kmeans_fit(df, k, iterations, id_col, vec_col)
+    return assigned_final(src, cents, id_col)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train the quantizer: returns ``(centroids ndarray, materialized
+    (_id, _v) source)`` — the IVF index-build half, reused by
+    :func:`kmeans` and the IVF ANN query."""
     src = materialize(df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
     init = src.orderBy("_id").limit(k).collect()
     cents = np.stack(
@@ -115,7 +129,7 @@ def kmeans(
                 vec[int(r._p)] = float(r._s) / int(r._n)
             new_cents[j] = np.array(vec, dtype=np.float64)
         cents = new_cents
-    return assigned_final(src, cents, id_col)
+    return cents, src
 
 
 def assigned_final(src: DataFrame, cents: np.ndarray, id_col: str) -> DataFrame:
@@ -129,6 +143,52 @@ def kmeans_python(ids, vectors, k: int = 8, iterations: int = 5) -> dict:
     """Independent full-matrix oracle: same determinism contract, none
     of the Spark machinery.  ``vectors`` are float32 rows (as stored);
     returns {id: cluster}."""
+    ids = list(ids)
+    _, a, _ = _kmeans_python_fit(ids, vectors, k, iterations)
+    return {ids[i]: int(a[i]) for i in range(len(ids))}
+
+
+def ivf_kmeans_topk(
+    df: DataFrame,
+    qvec,
+    k: int = 10,
+    n_clusters: int = 8,
+    iterations: int = 3,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat ANN: the k-means quantizer above as the coarse index.
+    The query vector picks its ``probes`` nearest centroids (squared-L2
+    on the driver — centroids are k×dim, a scalar cost), and cosine is
+    brute-forced only inside those clusters' member lists, i.e.
+    ~probes/n_clusters of the corpus.  Scores use the sequential
+    zip_with/aggregate cosine (functions/vector.dot) so an oracle can
+    replicate the summation order bit-for-bit, rounded at 6; ties break
+    on id.  At 100 TB: the assignment column is the partition key — a
+    stored IVF index clusters/bucket-sorts vectors by it so a probe
+    reads only its clusters' files (partition pruning does the rest).
+    """
+    from sema_spark.functions.vector import cosine
+
+    cents, src = kmeans_fit(df, n_clusters, iterations, id_col, vec_col)
+    q = np.asarray(qvec, dtype=np.float64)
+    dist = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(x) for x in np.argsort(dist, kind="stable")[:probes]]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        src.withColumn("_c", _assign_udf(cents)(F.col("_v")))
+        .where(F.col("_c").isin(probe))
+        .select(
+            F.col("_id").alias(id_col),
+            F.round(cosine(F.col("_v"), qlit), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _kmeans_python_fit(ids, vectors, k: int, iterations: int):
     ids = list(ids)
     m = np.stack(
         [np.asarray(v, dtype=np.float32).astype(np.float64) for v in vectors]
@@ -151,8 +211,52 @@ def kmeans_python(ids, vectors, k: int = 8, iterations: int = 5) -> dict:
                         dtype=np.float64,
                     )
     d = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
-    a = np.argmin(d, axis=1)
-    return {ids[i]: int(a[i]) for i in range(len(ids))}
+    return c, np.argmin(d, axis=1), m
+
+
+def _seq_cosine(v, q) -> float | None:
+    """Replica of functions/vector.cosine's SEQUENTIAL zip_with +
+    aggregate summation (numpy pairwise sums differ in the last bits,
+    which an unrounded-value oracle cannot tolerate)."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for i in range(len(q)):
+        x = float(np.float32(v[i]))
+        dot += x * float(q[i])
+        na += x * x
+        nb += float(q[i]) * float(q[i])
+    import math
+
+    den = math.sqrt(na) * math.sqrt(nb)
+    return dot / den if den != 0.0 else None
+
+
+def _r6(x: float) -> float:
+    """Spark F.round(_, 6): HALF_UP on the shortest decimal repr."""
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def ivf_kmeans_topk_python(
+    ids, vectors, qvec, k: int = 10, n_clusters: int = 8,
+    iterations: int = 3, probes: int = 2,
+):
+    """Independent oracle for :func:`ivf_kmeans_topk`: same quantizer
+    contract, sequential-summation cosine, (score desc, id asc) order.
+    Returns [(id, score), ...]."""
+    ids = list(ids)
+    c, a, _ = _kmeans_python_fit(ids, vectors, n_clusters, iterations)
+    q = np.asarray(qvec, dtype=np.float64)
+    dist = ((c - q[None, :]) ** 2).sum(axis=1)
+    probe = set(int(x) for x in np.argsort(dist, kind="stable")[:probes])
+    scored = [
+        (ids[i], _r6(s))
+        for i in range(len(ids))
+        if int(a[i]) in probe
+        and (s := _seq_cosine(vectors[i], q)) is not None
+    ]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
 
 
 def write_expected_kmeans(
@@ -172,14 +276,28 @@ def write_expected_kmeans(
     got = kmeans_python(ids, vecs, k, iterations)
     ordered = sorted(got)
     os.makedirs(out_dir, exist_ok=True)
-    tmp = f"{out_dir}/.tmp-{os.getpid()}-kmeans.parquet"
-    pq.write_table(
+
+    def write(name, table):
+        tmp = f"{out_dir}/.tmp-{os.getpid()}-{name}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, f"{out_dir}/{name}")
+
+    write(
+        "kmeans.parquet",
+        pa.table({"vec_id": ordered, "cluster": [got[i] for i in ordered]}),
+    )
+    # IVF ANN twin: query = vec_id 0's embedding, 3-round quantizer,
+    # 2 probes (same parameters as q_ann_ivf_kmeans_topk)
+    qvec = vecs[ids.index(0)]
+    top = ivf_kmeans_topk_python(
+        ids, vecs, qvec, k=10, n_clusters=k, iterations=3, probes=2
+    )
+    write(
+        "ivf_kmeans.parquet",
         pa.table(
             {
-                "vec_id": ordered,
-                "cluster": [got[i] for i in ordered],
+                "vec_id": [i for i, _ in top],
+                "score": [s for _, s in top],
             }
         ),
-        tmp,
     )
-    os.replace(tmp, f"{out_dir}/kmeans.parquet")

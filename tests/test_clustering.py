@@ -57,3 +57,23 @@ def test_kmeans_on_real_embeddings(spark):
     got = {r.vec_id: r.cluster for r in kmeans(df, k=4, iterations=3).collect()}
     assert got == exp
     assert len(set(got.values())) > 1
+
+
+def test_ivf_kmeans_topk_matches_python(spark):
+    from sema_spark.operators.clustering import ivf_kmeans_topk, ivf_kmeans_topk_python
+
+    rng = np.random.default_rng(7)
+    blobs = [rng.normal(c, 0.4, size=(20, 6)) for c in (-4.0, 0.0, 4.0)]
+    vecs = np.stack([blobs[i % 3][i // 3] for i in range(60)]).astype(np.float32)
+    ids = list(range(60))
+    q = [float(x) for x in vecs[0]]
+    exp = ivf_kmeans_topk_python(ids, vecs, q, k=5, n_clusters=3, iterations=3, probes=1)
+    got = [
+        (r.vec_id, r.score)
+        for r in ivf_kmeans_topk(
+            _df(spark, ids, vecs, parts=5), q, k=5, n_clusters=3, iterations=3, probes=1
+        ).collect()
+    ]
+    assert got == exp
+    # probing 1 of 3 well-separated cells: every hit is from q's blob
+    assert all(i % 3 == 0 for i, _ in got) and got[0][0] == 0

@@ -155,3 +155,32 @@ def test_passage_dedup_shuffles_hash_not_text(spark):
     assert keys, plan
     assert any(k.startswith("_h") for k in keys), keys
     assert not any(k.startswith("_passage") for k in keys), keys
+
+
+def test_ngram_bitmap_path_plan(spark):
+    """Small-universe ngram verify must be the popcount plan: bitmap
+    bit_count ops present, and the est tier (zip_with signature
+    agreement) absent — a regression to the est+array path on a small
+    universe would silently triple the cost."""
+    from sema_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"abcdefgh{i % 3}") for i in range(12)], "id long, text string"
+    )
+    plan = _plan(ngram_jaccard_pairs(docs, threshold=0.8))
+    assert "bit_count" in plan
+    assert "array_intersect" not in plan  # no per-pair array re-rank
+    # fallback (forced tiny universe cap) keeps the array re-rank tier
+    plan2 = _plan(ngram_jaccard_pairs(docs, threshold=0.8, max_universe=1))
+    assert "array_intersect" in plan2 and "bit_count" not in plan2
+
+
+def test_word_ngrams_are_compiled_regex(spark):
+    """decontaminate's gram explode must be the compiled regex pass —
+    no per-position slice HOF (the measured 10x regression)."""
+    from sema_spark.operators.curation import decontaminate
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = _plan(decontaminate(docs, docs, n=3))
+    assert "regexp_extract_all" in plan
+    assert "slice(" not in plan

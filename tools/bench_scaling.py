@@ -222,7 +222,12 @@ def main() -> int:
     creport["amortized_speedup"] = round(adj_speedup, 3)
     creport["amortized_efficiency"] = round(adj_speedup / (high / low), 3)
     print(json.dumps({"extract": report, "curation": creport}, indent=2))
+    write_baseline(report, creport, lo, hi, clo, chi, low, high, scale)
+    print("wrote BENCH/BASELINE.md")
+    return 0 if report["pass"] and creport["pass"] else 1
 
+
+def write_baseline(report, creport, lo, hi, clo, chi, low, high, scale):
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -258,8 +263,8 @@ here.
 The 5-stage curation composition (decontaminate → repetition keep →
 passage dedup → applyInPandas sequence packing → weighted interleave;
 `sema_spark.operators.curation.curation_chain`, the same code
-`curation_v2` grades) over a {CURATION_MULT}x id-shifted replication of
-the sf0.1 documents table ({clo['docs']:,} docs).  A deliberately
+`curation_v2` grades) over a deterministic synthetic corpus of
+{clo['docs']:,} (near-)unique docs x {CURATION_WORDS} seeded-hash words.  A deliberately
 different scaling profile from the narrow-map extraction: windows,
 multi-stage shuffles, and a Python applyInPandas stage (`n_shards` set
 to 2x cores per level — the packing-parallelism knob a real cluster
@@ -276,16 +281,17 @@ per level, least-steal run.
 * software scaling efficiency (chain / hardware calibration above):
   **{creport['software_efficiency']}** (target >= 0.8:
   {'PASS' if creport['pass'] else 'FAIL'})
-* **fixed-overhead decomposition**: the identical chain over a
-  {CURATION_DOCS_SMALL}-doc probe (W ≈ 0) costs
+* **fixed-overhead probe**: the identical chain over a
+  {CURATION_DOCS_SMALL}-doc corpus (data work ≈ 0) costs
   {creport['overhead_low_sec']}s / {creport['overhead_high_sec']}s at
   local[{low}]/local[{high}] — driver-serial Catalyst planning plus one
-  job-launch barrier per materialize boundary, a per-QUERY cost that a
-  real cluster pays once regardless of data volume.  Subtracting it,
-  the data-proportional work speeds up
-  **{creport['amortized_speedup']}x** = amortized efficiency
-  **{creport['amortized_efficiency']}** — the figure a 1000-executor
-  run (hours of W against the same seconds of O) would observe.
+  job-launch barrier per materialize boundary.  Subtracting it, the
+  data-proportional work alone speeds up
+  **{creport['amortized_speedup']}x** (efficiency
+  {creport['amortized_efficiency']}): fixed cost is NOT the limiter at
+  this corpus size — the hardware calibration above is (the VM's
+  effective parallelism tops out near 16 threads), which is exactly
+  what the software-efficiency normalization accounts for.
 
 ## Headline throughput
 
@@ -340,8 +346,6 @@ scale lever: a production 32k-merge vocabulary needs ~32k/m shuffle
 rounds instead of 32k.
 """
         )
-    print("wrote BENCH/BASELINE.md")
-    return 0 if report["pass"] and creport["pass"] else 1
 
 
 if __name__ == "__main__":
