@@ -2098,7 +2098,7 @@ def oracle_sql() -> dict[str, str]:
             where rn = 1 and doc_id % 10 < 8
         """,
         "decontaminate": r"""
-            with toks as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
+            with toks as (select doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') w
                           from documents),
             grams as (select doc_id,
                              unnest([array_to_string(w[i:i+2], ' ')
@@ -2112,7 +2112,7 @@ def oracle_sql() -> dict[str, str]:
             left join cont c on t.doc_id = c.doc_id
         """,
         "dedup_passages": r"""
-            with toks as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
+            with toks as (select doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') w
                           from documents),
             -- unnest(range(..)) is cap-free: range() as a LIST function
             -- accepts column bounds (the table-function form does not)
@@ -2135,7 +2135,7 @@ def oracle_sql() -> dict[str, str]:
             from tot t left join agg a on t.doc_id = a.doc_id
         """,
         "repetition_signals": r"""
-            with toks as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
+            with toks as (select doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') w
                           from documents),
             words as (select doc_id, unnest(w) as word from toks),
             wc as (select doc_id, word, count(*) as c from words group by 1, 2),
@@ -2202,7 +2202,7 @@ def oracle_sql() -> dict[str, str]:
             -- doc_id%97==0) -> repetition keep -> passage dedup (10-word,
             -- scope = surviving docs) -> next-fit packing of clean text
             with recursive
-            toks0 as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
+            toks0 as (select doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') w
                       from documents),
             grams as (select doc_id,
                              unnest([array_to_string(w[i:i+2], ' ')
@@ -2214,7 +2214,7 @@ def oracle_sql() -> dict[str, str]:
             train as (select * from documents
                       where doc_id % 97 <> 0
                         and doc_id not in (select doc_id from cont)),
-            toks1 as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
+            toks1 as (select doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') w
                       from train),
             wrows as (select doc_id, unnest(w) as word from toks1),
             wc as (select doc_id, word, count(*) as c from wrows group by 1, 2),
@@ -2232,7 +2232,7 @@ def oracle_sql() -> dict[str, str]:
                       where ws.twf <= 0.12 and coalesce(bs.dbf, 0.0) <= 0.05),
             survivors as (select t.doc_id, t.text from train t
                           where t.doc_id in (select doc_id from keptq)),
-            toks2 as (select doc_id, regexp_split_to_array(trim(text), '\s+') w
+            toks2 as (select doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') w
                       from survivors),
             p as (select doc_id, (i - 1) // 10 as pos,
                          array_to_string(w[i:i+9], ' ') as passage
@@ -2251,7 +2251,8 @@ def oracle_sql() -> dict[str, str]:
                                      substr(sha256(cast(doc_id as varchar)), i + 1, 1)) - 1
                                    as bigint) << (4 * (7 - i)) for i in range(0, 8)])
                               as bigint) % 10000 % 4 as shard,
-                            cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint)
+                            cast(case when trim(regexp_replace(text, '\s+', ' ', 'g')) = '' then 0
+                                 else len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) end as bigint)
                               as n_tokens
                      from cleaned),
             ordered as (select *, row_number() over (partition by shard
@@ -2312,8 +2313,8 @@ def oracle_sql() -> dict[str, str]:
                               substr(sha256(cast(doc_id as varchar)), i + 1, 1)) - 1 as bigint)
                             << (4 * (7 - i)) for i in range(0, 8)]) as bigint)
                        % 10000 % 4 as shard,
-                     cast(case when trim(text) = '' then 0
-                          else len(regexp_split_to_array(trim(text), '\s+')) end as bigint)
+                     cast(case when trim(regexp_replace(text, '\s+', ' ', 'g')) = '' then 0
+                          else len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) end as bigint)
                        as n_tokens
               from documents),
             ordered as (select *, row_number() over (partition by shard

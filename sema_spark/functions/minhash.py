@@ -176,14 +176,21 @@ def with_minhash(
     bands: int = LSH_BANDS,
     use_arrow: bool = True,
     base: str = "xxhash64",
+    tokens_ready: bool = False,
 ) -> DataFrame:
     """Add mh_sig + mh_bands.  Both paths produce IDENTICAL signatures;
     the Arrow hybrid is the default (the pure-HOF path was the round-1
     bench hotspot), the HOF path remains as the no-Python-workers option
     and as the independent implementation the equality test checks
     against.  ``base="sha"`` makes signatures DuckDB-replicable (see
-    :func:`_base_hash`)."""
-    tokens = tokenize(text_col) if shingle_words else char_shingles(text_col)
+    :func:`_base_hash`).  ``tokens_ready=True`` means ``text_col``
+    already holds the token/shingle ARRAY (callers that shingled once
+    for their own verify tier pass it through instead of paying the
+    shingle scan twice)."""
+    if tokens_ready:
+        tokens = F.col(text_col)
+    else:
+        tokens = tokenize(text_col) if shingle_words else char_shingles(text_col)
     if use_arrow:
         sig = signature_from_hashes_udf(num_perm)(token_base_hashes(tokens, base))
     else:

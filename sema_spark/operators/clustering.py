@@ -9,19 +9,25 @@ possible for an iterative float algorithm):
 
 * init: the centroids are the vectors of the ``k`` smallest ids —
   no RNG, no data-order dependence.
-* assignment: ``argmin_j(-2·x@C_j + |C_j|²)`` computed in numpy
-  float64 on BOTH engines (Arrow-batched UDF here, full-matrix oracle
-  there).  The reduction runs over the 64-dim axis per row, so numpy
-  produces bit-identical results regardless of how rows are batched;
+* assignment: ``argmin_j(-2·x·C_j + |C_j|²)`` computed in numpy
+  float64 on BOTH engines via non-optimized ``einsum`` (Arrow-batched
+  UDF here, full-matrix oracle there).  ``einsum(optimize=False)``
+  accumulates each output element with a plain sequential loop over
+  the dim axis — unlike ``@``/BLAS gemm, whose kernel (and thus
+  last-bit rounding) can change with the batch's row count — so
+  results are bit-identical regardless of how rows are batched;
   ``np.argmin`` breaks distance ties toward the smallest cluster
   index on both sides.
-* update: per-cluster component sums are taken in ``decimal(38,30)``
+* update: per-cluster component sums are taken in ``decimal(38,12)``
   — exact and ORDER-INDEPENDENT, where a double sum would depend on
-  Spark's partitioning.  Scale 30 represents every shortest-repr
-  float64 component of magnitude < 10^8 exactly, so the cast rounds
-  nothing.  The division (mean) happens driver-side in Python from
-  the collected k×dim sums — both engines literally share that
-  arithmetic, the same driver-scalar pattern as BPE's argmax.
+  Spark's partitioning.  Scale 12 leaves 26 integer digits of
+  headroom (a scale-30 draft overflowed Spark's decimal sum to NULL
+  past ~10^8 total — only 8 integer digits); the cast DOES round
+  components at 1e-12, but identically on both engines (HALF_UP on
+  the shortest repr), so parity is preserved by construction.  The
+  division (mean) happens driver-side in Python from the collected
+  k×dim sums — both engines literally share that arithmetic, the
+  same driver-scalar pattern as BPE's argmax.
 * empty clusters keep their previous centroid.
 
 Scale: per iteration one narrow Arrow-batched assignment pass over the
@@ -44,18 +50,18 @@ from pyspark.sql.functions import pandas_udf
 
 from sema_spark.plans.materialize import materialize
 
-_DEC_Q = Decimal("1e-30")
-# scale-30 decimals need ~48 digits of working precision (Python's
-# default context is 28 and raises InvalidOperation); mirrors Spark's
-# decimal(38,30) headroom
+_DEC_Q = Decimal("1e-12")
+# wide working precision (Python's default context of 28 digits can
+# raise InvalidOperation when quantize/sum digits exceed it); mirrors
+# Spark's decimal(38,12) headroom
 _CTX = decimal.Context(prec=60, rounding=ROUND_HALF_UP)
 
 
 def _dec(x: float) -> Decimal:
-    """Python replica of Spark's double→decimal(38,30) cast: both go
+    """Python replica of Spark's double→decimal(38,12) cast: both go
     through the shortest decimal repr (BigDecimal.valueOf /
-    ``repr``), then quantize HALF_UP at scale 30 — a no-op for any
-    float64 < 1e8, so the two casts cannot disagree."""
+    ``repr``), then quantize HALF_UP at scale 12 — identical rounding
+    on both engines, so the two casts cannot disagree."""
     return _CTX.quantize(Decimal(repr(float(x))), _DEC_Q)
 
 
@@ -70,7 +76,7 @@ def _assign_udf(centroids: np.ndarray):
         m = np.stack(
             v.map(lambda x: np.asarray(x, dtype=np.float32).astype(np.float64))
         )
-        d = -2.0 * (m @ c.T) + c_sq[None, :]
+        d = -2.0 * np.einsum("nd,kd->nk", m, c, optimize=False) + c_sq[None, :]
         return pd.Series(np.argmin(d, axis=1).astype(np.int32))
 
     return assign
@@ -112,7 +118,7 @@ def kmeans_fit(
             assigned.select("_c", F.posexplode("_v").alias("_p", "_x"))
             .groupBy("_c", "_p")
             .agg(
-                F.sum(F.col("_x").cast("double").cast("decimal(38,30)")).alias("_s"),
+                F.sum(F.col("_x").cast("double").cast("decimal(38,12)")).alias("_s"),
                 F.count("*").alias("_n"),
             )
             .collect()
@@ -183,6 +189,11 @@ def ivf_kmeans_topk(
             F.col("_id").alias(id_col),
             F.round(cosine(F.col("_v"), qlit), 6).alias("score"),
         )
+        # zero-norm vectors score NULL — not results (the python oracle
+        # filters its None scores identically); without this, desc
+        # ordering parks them last but limit(k) still admits them when
+        # the probed cells hold fewer than k scoreable vectors
+        .where(F.col("score").isNotNull())
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
@@ -196,7 +207,7 @@ def _kmeans_python_fit(ids, vectors, k: int, iterations: int):
     order = sorted(range(len(ids)), key=lambda i: ids[i])[:k]
     c = m[order].copy()
     for _ in range(iterations):
-        d = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+        d = -2.0 * np.einsum("nd,kd->nk", m, c, optimize=False) + (c * c).sum(axis=1)[None, :]
         a = np.argmin(d, axis=1)
         for j in range(len(c)):
             members = m[a == j]
@@ -210,7 +221,7 @@ def _kmeans_python_fit(ids, vectors, k: int, iterations: int):
                         ],
                         dtype=np.float64,
                     )
-    d = -2.0 * (m @ c.T) + (c * c).sum(axis=1)[None, :]
+    d = -2.0 * np.einsum("nd,kd->nk", m, c, optimize=False) + (c * c).sum(axis=1)[None, :]
     return c, np.argmin(d, axis=1), m
 
 

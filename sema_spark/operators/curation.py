@@ -65,6 +65,24 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism * 2)
 
 
+def _norm(col: Column) -> Column:
+    """Whitespace-normalized text: every ``\\s+`` run collapses to one
+    space, THEN space-trim — replace-before-trim so leading/trailing
+    tabs/newlines vanish too (F.trim strips only ' ').  The r4 review
+    caught the divergence this guards: ``split(trim(x), '\\s+')``
+    yields an empty first word on tab-led text, so gram/passage/token
+    semantics depended on which whitespace char touched the edges; all
+    curation operators AND their DuckDB oracles now share this
+    normalization."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def _norm_words(col: Column) -> Column:
+    """Word array of the normalized text ([''] for empty/whitespace-only
+    — the shared one-empty-passage edge)."""
+    return F.split(_norm(col), " ")
+
+
 def _word_ngrams(col: Column, n: int) -> Column:
     """Space-joined word n-grams of a TEXT column in one compiled regex
     pass: whitespace-normalize, then capture ``n`` words at every word
@@ -76,9 +94,8 @@ def _word_ngrams(col: Column, n: int) -> Column:
     of interpreted: the HOF allocated a sliced array per position and
     was the measured hot 80% of the whole curation chain (doc-gram
     explode on the 20k-doc scaling corpus: 21.9s → ~2s; whole chain 29s → 10s)."""
-    norm = F.regexp_replace(F.trim(col), r"\s+", " ")
     pat = r"(?=(?:^| )(\S+" + r" \S+" * (n - 1) + r"))"
-    return F.regexp_extract_all(norm, F.lit(pat), 1)
+    return F.regexp_extract_all(_norm(col), F.lit(pat), 1)
 
 
 def decontaminate(
@@ -159,7 +176,7 @@ def dedup_passages(
     from the word count — no second explode.  Null-text documents are
     excluded entirely (they have no passages on either engine).
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = _norm_words(F.col(text_col))
     n_pass = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
     # consecutive non-overlapping passages in ONE compiled regex pass:
     # greedy `\S+( \S+){0,w-1}` eats w words per match and the scan
@@ -169,7 +186,7 @@ def dedup_passages(
     # bit-identical: an empty/whitespace text still yields ONE empty
     # passage (split of "" is [""] — both engines' oracle semantics),
     # which the regex alone would drop.
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    norm = _norm(F.col(text_col))
     pat = r"\S+( \S+){0,%d}" % (passage_words - 1)
     passage_arr = F.when(norm == "", F.array(F.lit(""))).otherwise(
         F.regexp_extract_all(norm, F.lit(pat), 0)
@@ -234,7 +251,7 @@ def repetition_signals(
     token count per document, not the token count.  No window functions, no
     Python.
     """
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = _norm_words(F.col(text_col))
     base = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"), words.alias("_w")
     )
@@ -372,8 +389,8 @@ def pack_sequences(
     """
     import pandas as pd
 
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_tokens = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(words))
+    words = _norm_words(F.col(text_col))
+    n_tokens = F.when(_norm(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(words))
     base = docs.select(
         F.col(id_col),
         (sha_bucket(F.col(id_col)) % n_shards).alias("shard"),

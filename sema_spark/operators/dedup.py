@@ -88,6 +88,7 @@ def _lsh_raw_band_pairs(
     max_bucket: int,
     shingle_words: bool,
     base: str,
+    tokens_ready: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared LSH front half: ``(mh, raw_pairs)`` where raw_pairs is the
     capped band self-join output ``(a, b)`` with a < b, NOT yet
@@ -105,6 +106,7 @@ def _lsh_raw_band_pairs(
         shingle_words=shingle_words,
         bands=choose_bands(threshold),
         base=base,
+        tokens_ready=tokens_ready,
     ).select("id", "mh_sig", "mh_bands").transform(materialize)
     bands = explode_bands(mh, ["id"])
     cap = Window.partitionBy("band", "bh").orderBy("id")
@@ -133,6 +135,7 @@ def minhash_candidate_pairs(
     max_bucket: int = 1000,
     shingle_words: bool = True,
     base: str = "xxhash64",
+    tokens_ready: bool = False,
 ) -> DataFrame:
     """(a, b, est_jaccard) pairs with estimated Jaccard ≥ threshold.
     ``shingle_words=False`` switches the similarity measure to char
@@ -140,7 +143,9 @@ def minhash_candidate_pairs(
     char-n-gram Jaccard — candidate filter and re-rank then estimate
     the SAME quantity).  ``base="sha"`` switches the token base hash to
     a sha256-derived value a DuckDB oracle can replicate."""
-    mh, raw = _lsh_raw_band_pairs(df, id_col, text_col, threshold, max_bucket, shingle_words, base)
+    mh, raw = _lsh_raw_band_pairs(
+        df, id_col, text_col, threshold, max_bucket, shingle_words, base, tokens_ready
+    )
     # pair dedup is the band phase's hot aggregation (each pair repeats
     # once per agreeing band — 8.6M raw → 5.2M distinct at sf0.1): an
     # explicit wide repartition parallelizes the hash-agg past the
@@ -500,11 +505,12 @@ def ngram_jaccard_pairs(
     u = udict.count()  # driver scalar: picks the verify path at plan time
     if 0 < u <= max_universe:
         return _ngram_bitmap_pairs(
-            df, ex, udict, u, id_col, text_col, threshold, max_bucket
+            gsets, ex, udict, u, threshold, max_bucket
         )
     cand = minhash_candidate_pairs(
-        df, id_col, text_col,
+        gsets, "id", "gs",
         threshold=threshold * 0.78, max_bucket=max_bucket, shingle_words=False,
+        tokens_ready=True,
     )
     grams = gsets.select(
         "id", F.transform(F.col("gs"), lambda g: F.xxhash64(g)).alias("g")
@@ -553,12 +559,10 @@ def ngram_jaccard_pairs(
 
 
 def _ngram_bitmap_pairs(
-    df: DataFrame,
+    gsets: DataFrame,
     ex: DataFrame,
     udict: DataFrame,
     u: int,
-    id_col: str,
-    text_col: str,
     threshold: float,
     max_bucket: int,
 ) -> DataFrame:
@@ -590,7 +594,8 @@ def _ngram_bitmap_pairs(
         )
     )
     _, raw = _lsh_raw_band_pairs(
-        df, id_col, text_col, threshold * 0.78, max_bucket, False, "xxhash64"
+        gsets, "id", "gs", threshold * 0.78, max_bucket, False, "xxhash64",
+        tokens_ready=True,
     )
     ba = bm.select(
         F.col("id").alias("a"),

@@ -324,3 +324,36 @@ def test_repetition_signals_incremental_stage(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_whitespace_edges_normalized(spark):
+    """Tab/newline-edged text: gram, passage, token, and word-stat
+    semantics must follow whitespace-NORMALIZED words (python str.split
+    semantics) — the r4 review caught split(trim(x), '\\s+') emitting an
+    empty first word on tab-led text, silently shifting every gram and
+    passage against the oracle."""
+    from sema_spark.operators.curation import (
+        dedup_passages,
+        pack_sequences,
+        repetition_signals,
+    )
+
+    rows = [
+        (1, "\ta b c d e\n"),       # tab-led, newline-trailed
+        (2, "a\t b\nc   d e"),      # interior mixed runs
+        (3, " \t \n "),             # whitespace-only
+        (4, ""),                    # empty
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # n_words / passages follow python .split() word counts
+    rep = {r.doc_id: r.n_words for r in repetition_signals(docs).collect()}
+    assert rep[1] == 5 and rep[2] == 5
+    assert rep[3] == 1 and rep[4] == 1  # [''] — the shared empty edge
+
+    dp = {r.doc_id: (r.n_passages, r.clean_text) for r in dedup_passages(docs, passage_words=3).collect()}
+    assert dp[1][0] == 2 and dp[1][1] == "a b c d e"
+    assert dp[2][1] == ""  # doc 2's normalized passages are doc 1's — it loses both
+    assert dp[3] == (1, "")  # whitespace-only: one empty passage
+    pk = {r.doc_id: r.n_tokens for r in pack_sequences(docs, capacity=8, n_shards=2).collect()}
+    assert pk[1] == 5 and pk[2] == 5 and pk[3] == 0 and pk[4] == 0

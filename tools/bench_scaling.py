@@ -10,8 +10,9 @@ does not deliver 4x the throughput from 8->32 threads (only ~2x; 4->16
 delivers ~3.6x).  So alongside the pipeline measurement we measure the
 HARDWARE's own scaling between the same two levels at the same time,
 and report software efficiency = pipeline efficiency / hardware
-efficiency.  Each level runs the job several times; the run with the
-least steal wins.
+efficiency.  Each level runs the job several times; the fastest run
+wins (steal can only inflate wall time), with its steal count reported
+for context.
 
 Usage: python tools/bench_scaling.py [low_cores] [high_cores] [scale]
 """
@@ -56,9 +57,11 @@ def run():
 
 run()  # warm-up: JIT, code cache
 runs = [run() for _ in range(4)]
-best = min(runs, key=lambda r: (r[2], r[1]))  # least-steal, then fastest
-fastest = min(runs, key=lambda r: r[1])
-pick = fastest if fastest[1] <= best[1] else best
+# fastest run wins: hypervisor steal can only INFLATE wall time, so the
+# minimum is the best machine-independent estimate; its own steal count
+# is reported for context.  (An earlier "least-steal, then fastest"
+# tiebreak was dead logic — the fastest run always won the comparison.)
+pick = min(runs, key=lambda r: r[1])
 print("RESULT " + json.dumps({{"cores": {cores}, "files": n_files,
       "bytes": bytes_in, "triples": pick[0], "sec": round(pick[1], 2),
       "steal_jiffies": pick[2],
@@ -91,9 +94,7 @@ def run():
 
 run()  # warm-up: JIT, Python worker pool
 runs = [run() for _ in range(4)]
-best = min(runs, key=lambda r: (r[2], r[1]))
-fastest = min(runs, key=lambda r: r[1])
-pick = fastest if fastest[1] <= best[1] else best
+pick = min(runs, key=lambda r: r[1])  # fastest: steal only inflates
 print("RESULT " + json.dumps({{"cores": {cores}, "docs": n_docs,
       "rows_out": pick[0], "sec": round(pick[1], 2),
       "steal_jiffies": pick[2], "all_secs": [round(r[1], 2) for r in runs],
@@ -179,7 +180,7 @@ def make_report(lo: dict, hi: dict, low: int, high: int, hw_eff: float, rate_key
         "hardware_efficiency": round(hw_eff, 3),
         "software_efficiency": round(sw_eff, 3),
         "target": 0.8,
-        "pass": efficiency >= 0.8 or sw_eff >= 0.8,
+        "pass": efficiency >= 0.8 or (sw_eff is not None and sw_eff >= 0.8),
     }
 
 
@@ -238,7 +239,7 @@ def write_baseline(report, creport, lo, hi, clo, chi, low, high, scale):
 Identical stage-1 triple-extraction job, same parquet corpus
 (`{scale}` scale: {lo['files']:,} files, {lo['bytes']:,} content bytes,
 {lo['triples']:,} triples), JVM warm-up then 4 measured runs per level
-(least-hypervisor-steal run reported).  `local[{low}]` vs `local[{high}]`
+(fastest run reported — steal can only inflate; its steal count shown).  `local[{low}]` vs `local[{high}]`
 is the sandbox stand-in for N vs 4N executors — no real cluster exists
 here.
 
@@ -269,7 +270,7 @@ different scaling profile from the narrow-map extraction: windows,
 multi-stage shuffles, and a Python applyInPandas stage (`n_shards` set
 to 2x cores per level — the packing-parallelism knob a real cluster
 scales with its executor count).  Same protocol: JVM warm-up, 4 runs
-per level, least-steal run.
+per level, fastest run.
 
 | parallelism | wall sec | docs/sec | all runs (sec) | steal (jiffies) |
 |---|---|---|---|---|
