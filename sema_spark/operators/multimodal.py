@@ -4,8 +4,9 @@ metadata.
 The Spark-side contract is real and tested — schemas, Arrow batch shape,
 partition-stable UDF signatures, frame-sample fan-out.  Codec status:
 
-* PPM (P6) images and PCM-16 WAV audio are decoded FOR REAL — pure-numpy
-  parsers (:func:`decode_ppm`, :func:`decode_wav`) feeding genuine
+* PPM (P6) and 24-bit BMP images and PCM-16 WAV audio are decoded FOR
+  REAL — pure-numpy spec-walking parsers (:func:`decode_ppm`,
+  :func:`decode_bmp`, :func:`decode_wav`) feeding genuine
   pixel/sample statistics into the feature vector.  Their round trip is
   gated by an oracle that recomputes the statistics from the pixel/sample
   GENERATING FORMULA without ever touching the codec
@@ -109,6 +110,44 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return raster.reshape(h, w, 3)
 
 
+BMP_MIME = "image/bmp"
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR byte order, 4-byte row stride padding)."""
+    h, w = pixels.shape[:2]
+    pad = (-(w * 3)) % 4
+    off = 14 + 40
+    data_size = (w * 3 + pad) * h
+    hdr = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    bgr = np.ascontiguousarray(pixels[..., ::-1], dtype=np.uint8)
+    body = b"".join(bgr[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1))
+    return hdr + dib + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB.  Pure numpy
+    spec-walking like :func:`decode_ppm`: pixel-array offset from the
+    file header, geometry/bpp/compression from BITMAPINFOHEADER, BGR
+    byte order, bottom-up rows (negative height = top-down), rows
+    padded to 4-byte strides."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack("<I", payload[10:14])[0]
+    _, w, h_raw, _planes, bpp, comp = struct.unpack("<IiiHHI", payload[14:34])
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed supported, got bpp={bpp} comp={comp}")
+    top_down, h = h_raw < 0, abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((h, w, 3), np.uint8)
+    for r in range(h):
+        row = np.frombuffer(payload, np.uint8, w * 3, off + r * stride).reshape(w, 3)
+        out[r if top_down else h - 1 - r] = row[:, ::-1]
+    return out
+
+
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
     """1-D int16 samples → RIFF/WAVE (PCM 16-bit mono)."""
     data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
@@ -176,9 +215,11 @@ def audio_feature(sample_rate: int, samples: np.ndarray, dim: int = FEATURE_DIM)
 
 
 def _feature_for(mime: str, payload: bytes | None, strict: bool) -> list[float]:
-    """Dispatch: real codecs for PPM/WAV; fake (or strict raise) elsewhere."""
+    """Dispatch: real codecs for PPM/BMP/WAV; fake (or strict raise) elsewhere."""
     if payload is not None and mime == PPM_MIME:
         return image_feature(decode_ppm(bytes(payload)))
+    if payload is not None and mime == BMP_MIME:
+        return image_feature(decode_bmp(bytes(payload)))
     if payload is not None and mime == WAV_MIME:
         rate, samples = decode_wav(bytes(payload))
         return audio_feature(rate, samples)
@@ -285,15 +326,20 @@ def _pattern_audio(i: int) -> tuple[int, np.ndarray]:
 
 
 def synthetic_real_media(spark, n: int = 16) -> DataFrame:
-    """Media table whose payloads are REAL containers (P6 PPM / PCM-16
-    WAV) built from the deterministic patterns above."""
+    """Media table whose payloads are REAL containers (P6 PPM or 24-bit
+    BMP images — alternating, so the gate proves BOTH image codecs —
+    and PCM-16 WAV audio) built from the deterministic patterns above.
+    The oracle computes features straight from the patterns, container-
+    blind, so swapping containers never changes the expected values."""
     rows = []
     for i in range(n):
         if i % 2 == 0:
             px = _pattern_image(i)
             h, w = px.shape[:2]
+            mime = BMP_MIME if i % 4 == 2 else PPM_MIME
+            enc = encode_bmp if i % 4 == 2 else encode_ppm
             rows.append(
-                (i, "image", PPM_MIME, bytearray(encode_ppm(px)),
+                (i, "image", mime, bytearray(enc(px)),
                  {"width": w, "height": h, "duration_ms": None, "sample_rate": None})
             )
         else:

@@ -115,3 +115,49 @@ def test_sample_frames_fanout(spark):
         assert sorted(r.frame_idx for r in rows) == [0, 1, 2]
         assert sorted(r.ts_ms for r in rows) == [0, 1000, 2000]
         assert all(len(r.frame_bytes) == 32 for r in rows)
+
+
+def test_bmp_round_trip_and_edges():
+    """24-bit BMP codec: round trip incl. non-multiple-of-4 widths
+    (row padding), top-down images, and non-BMP rejection."""
+    import numpy as np
+    import pytest
+
+    from sema_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    for w, h in ((33, 5), (32, 24), (1, 1), (7, 3)):
+        px = ((np.arange(h * w * 3) * 31 + 7) % 256).astype(np.uint8).reshape(h, w, 3)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px), (w, h)
+    # top-down variant (negative height) decodes to the same image
+    px = ((np.arange(5 * 33 * 3) * 13) % 256).astype(np.uint8).reshape(5, 33, 3)
+    import struct
+
+    buf = bytearray(encode_bmp(px))
+    # rewrite height to -h and re-pack rows in top-down order
+    h, w = px.shape[:2]
+    pad = (-(w * 3)) % 4
+    bgr = px[..., ::-1]
+    body = b"".join(bytes(bgr[y].tobytes()) + b"\x00" * pad for y in range(h))
+    td = bytes(buf[:14]) + struct.pack(
+        "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    ) + body
+    assert np.array_equal(decode_bmp(td), px)
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG\x00whatever")
+
+
+def test_real_media_includes_bmp(spark):
+    """The real-media fixture alternates PPM/BMP images; features must
+    match the pattern-derived oracle regardless of container."""
+    from sema_spark.operators.multimodal import (
+        BMP_MIME,
+        PPM_MIME,
+        decode_features,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, 16)
+    mimes = {r.media_id: r.mime for r in media.select("media_id", "mime").collect()}
+    assert mimes[2] == BMP_MIME and mimes[0] == PPM_MIME
+    out = decode_features(media, strict=True)  # strict: every mime must decode for real
+    assert out.count() == 16
