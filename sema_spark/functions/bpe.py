@@ -170,7 +170,8 @@ def bpe_train(
             # a word collapsed to one symbol can never pair again — and
             # F.sequence(1, 0) DESCENDS, so keeping it would generate
             # out-of-bounds pair indices
-            .where(F.size("syms") >= 2)
+            .where(F.size("syms") >= 2),
+            truncate=True,
         )
     return merges
 

@@ -38,7 +38,7 @@ def _contract(e: DataFrame, rounds: int = 2):
             e.groupBy("x")
             .agg(F.min("y").alias("mn"))
             .select("x", F.least(F.col("x"), F.col("mn")).alias("l"))
-            .transform(materialize)
+            .transform(lambda d: materialize(d, truncate=True))
         )
         mappings.append(lab)
         la = lab.select(F.col("x").alias("_xa"), F.col("l").alias("_la"))
@@ -49,7 +49,9 @@ def _contract(e: DataFrame, rounds: int = 2):
             .select(F.col("_la").alias("x"), F.col("_lb").alias("y"))
             .filter(F.col("x") != F.col("y"))
         )
-        e = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct().transform(materialize)
+        e = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y"))).distinct().transform(
+            lambda d: materialize(d, truncate=True)
+        )
     return e, mappings
 
 
@@ -161,7 +163,7 @@ def connected_components(
         new_comp = (
             hop.join(parent, hop["component"] == parent["pid"], "left")
             .select("id", F.coalesce(F.least("pcomp", "component"), F.col("component")).alias("component"))
-            .transform(materialize)
+            .transform(lambda d: materialize(d, truncate=True))
         )
         new_fp = fingerprint(new_comp)
         comp = new_comp

@@ -86,7 +86,8 @@ def pagerank(
                     * (F.coalesce("flowed", F.lit(0.0)) + F.col("m") / n)
                 ).alias("rank"),
             )
-            .transform(materialize)
+            # loop-internal: demands real truncation in every mode
+            .transform(lambda d: materialize(d, truncate=True))
         )
     return ranks
 
@@ -181,7 +182,7 @@ def k_hop(
             .join(seen.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop).cast("bigint"))
         )
-        frontier = materialize(nxt)
+        frontier = materialize(nxt, truncate=True)
         seen = seen.union(frontier)
     return seen.groupBy("node").agg(F.min("dist").alias("dist"))
 
@@ -239,7 +240,8 @@ def label_propagation(
         labels = materialize(
             counts.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
-            .select("id", "label")
+            .select("id", "label"),
+            truncate=True,
         )
     return labels
 
@@ -282,7 +284,8 @@ def k_core(
             sym.groupBy("a")
             .agg(F.count("*").alias("deg"))
             .where(F.col("deg") < k)
-            .select("a")
+            .select("a"),
+            truncate=True,
         )
         if weak.isEmpty():
             converged = True
@@ -290,7 +293,8 @@ def k_core(
         sym = materialize(
             sym.join(weak, "a", "left_anti")
             .join(weak.withColumnRenamed("a", "b"), "b", "left_anti")
-            .select("a", "b")
+            .select("a", "b"),
+            truncate=True,
         )
     if not converged:
         # loop exhaustion must not masquerade as convergence: an

@@ -17,9 +17,10 @@ deployment decision, not an algorithm decision:
   and stay in memory when they fit — the default we'd ship on a cluster.
   Two documented limits vs the checkpoint modes: (a) persist cuts
   RECOMPUTATION (downstream reads InMemoryTableScan) but not the
-  LOGICAL plan, so per-iteration analysis cost grows with iteration
-  count — fine for this repo's bounded loops (CC max_iter=25, PageRank
-  ~10), wrong for unbounded iteration; (b) cached blocks live until the
+  LOGICAL plan — which is why loop-internal cuts pass
+  ``truncate=True`` (see :func:`materialize`): a round that references
+  the previous round's result more than once grows the plan
+  exponentially, and pagerank@10 OOMed the driver under plain persist; (b) cached blocks live until the
   session ends or ``spark.catalog.clearCache()`` — call it between
   pipelines when running many in one session.
 
@@ -59,10 +60,23 @@ def materialize_mode() -> str:
     return mode
 
 
-def materialize(df: DataFrame) -> DataFrame:
-    """Cut the logical plan here, per the configured mode (eager)."""
+def materialize(df: DataFrame, truncate: bool = False) -> DataFrame:
+    """Cut the logical plan here, per the configured mode (eager).
+
+    ``truncate=True`` is for INSIDE iterative loops and demands a real
+    lineage cut every call: persist alone leaves the logical plan
+    intact, and a loop whose next round references this round's result
+    more than once (pagerank's ranks feed contribs AND the dangling
+    probe AND the rebuild) grows the un-truncated plan EXPONENTIALLY
+    with iteration count — measured: pagerank@10 iterations OOMs the
+    driver on plan stringification under plain persist.  In persist
+    mode, truncating calls therefore fall back to localCheckpoint; a
+    production cluster runs iterative algorithms with
+    ``SPARK_GRAFT_MATERIALIZE=reliable`` (durable checkpoints), which
+    truncates natively.  Loop-external stage boundaries (bounded cut
+    count) keep persist's recomputable-lineage semantics."""
     mode = materialize_mode()
-    if mode == "local":
+    if mode == "local" or (mode == "persist" and truncate):
         return df.localCheckpoint(eager=True)
     if mode == "reliable":
         sc = df.sparkSession.sparkContext
