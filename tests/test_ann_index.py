@@ -1,0 +1,119 @@
+"""Stored IVF index: the persisted build/query split must answer
+identically to the in-plan operator, append incrementally without
+retrain (and idempotently), and the probe scan must be PARTITION
+PRUNED — reading only the probed clusters' files, the stored-index
+scale contract (reference parity: lance_indexer.rs:30-163 builds and
+queries a stored index; mod.rs:30-52 maintains it incrementally)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sema_spark.operators.clustering import _assign_udf, ivf_kmeans_topk
+from sema_spark.sources.ann_index import (
+    build_ivf_index,
+    ivf_index_append,
+    ivf_index_ready,
+    ivf_stored_topk,
+    load_centroids,
+)
+
+
+def _df(spark, ids, vecs, parts=4):
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(parts)
+
+
+def _blob_data(n=60, dim=6, seed=7):
+    rng = np.random.default_rng(seed)
+    blobs = [rng.normal(c, 0.4, size=(n // 3, dim)) for c in (-4.0, 0.0, 4.0)]
+    vecs = np.stack([blobs[i % 3][i // 3] for i in range(n)]).astype(np.float32)
+    return list(range(n)), vecs
+
+
+def test_stored_equals_inplan(spark, tmp_path):
+    ids, vecs = _blob_data()
+    df = _df(spark, ids, vecs)
+    q = [float(x) for x in vecs[0]]
+    idx = str(tmp_path / "ivf")
+    assert not ivf_index_ready(idx)
+    build_ivf_index(df, idx, n_clusters=3, iterations=3)
+    assert ivf_index_ready(idx)
+    got = [
+        (r.vec_id, r.score)
+        for r in ivf_stored_topk(spark, idx, q, k=5, probes=1).collect()
+    ]
+    exp = [
+        (r.vec_id, r.score)
+        for r in ivf_kmeans_topk(
+            df, q, k=5, n_clusters=3, iterations=3, probes=1
+        ).collect()
+    ]
+    assert got == exp and got[0][0] == 0
+
+
+def test_append_is_incremental_and_idempotent(spark, tmp_path):
+    ids, vecs = _blob_data()
+    half = _df(spark, ids[:30], vecs[:30])
+    full = _df(spark, ids, vecs)
+    idx = str(tmp_path / "ivf")
+    cents = build_ivf_index(half, idx, n_clusters=3, iterations=3)
+
+    # frozen quantizer: append assigns with the SAME centroids
+    assert ivf_index_append(full, idx) == 30
+    assert np.allclose(load_centroids(spark, idx), cents)
+    # re-submitting the same input is a no-op (J1 anti-join)
+    assert ivf_index_append(full, idx) == 0
+
+    stored = spark.read.parquet(f"{idx}/vectors")
+    assert stored.count() == 60
+    assert stored.select("vec_id").distinct().count() == 60
+    # every row's partition equals the frozen-quantizer assignment
+    expected = full.select(
+        "vec_id", _assign_udf(cents)(F.col("embedding")).cast("int").alias("exp_c")
+    )
+    mismatch = (
+        stored.select("vec_id", "cluster")
+        .join(expected, "vec_id")
+        .where(F.col("cluster") != F.col("exp_c"))
+        .count()
+    )
+    assert mismatch == 0
+
+    # stored query over the incrementally-built index == brute force
+    # over the frozen assignments restricted to the probed cell
+    q = [float(x) for x in vecs[1]]
+    got = [
+        (r.vec_id, r.score)
+        for r in ivf_stored_topk(spark, idx, q, k=5, probes=1).collect()
+    ]
+    qn = np.asarray(q, dtype=np.float64)
+    dist = ((cents - qn[None, :]) ** 2).sum(axis=1)
+    probe = int(np.argsort(dist, kind="stable")[0])
+    members = {
+        r.vec_id
+        for r in expected.where(F.col("exp_c") == probe).collect()
+    }
+    assert got and all(i in members for i, _ in got)
+    assert got == sorted(got, key=lambda t: (-t[1], t[0]))
+
+
+def test_probe_scan_is_partition_pruned(spark, tmp_path):
+    ids, vecs = _blob_data()
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(_df(spark, ids, vecs), idx, n_clusters=3, iterations=3)
+    q = [float(x) for x in vecs[0]]
+    plan = (
+        ivf_stored_topk(spark, idx, q, k=5, probes=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # pruning happens at the scan (PartitionFilters), not as a
+    # post-scan Filter over all partitions
+    assert "PartitionFilters: [" in plan
+    assert "cluster" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    # and the query is a top-k, not a global sort
+    assert "TakeOrderedAndProject" in plan
