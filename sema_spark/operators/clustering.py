@@ -130,6 +130,17 @@ def kmeans_fit(
         for j, rows in by_cluster.items():
             vec = [None] * dim
             for r in rows:
+                if r._s is None:
+                    # Spark's non-ANSI decimal sum returns NULL on
+                    # overflow; 26 integer digits of headroom make this
+                    # unreachable below ~10^26 total per component, but
+                    # an opaque TypeError would hide the cause
+                    raise ArithmeticError(
+                        f"decimal(38,12) component sum overflowed for "
+                        f"cluster {int(r._c)} dim {int(r._p)} "
+                        f"(n={int(r._n)}); corpus magnitude exceeds the "
+                        f"26-digit headroom — rescale the vectors"
+                    )
                 # identical arithmetic to kmeans_python: exact decimal
                 # sum, then one float division on the driver
                 vec[int(r._p)] = float(r._s) / int(r._n)

@@ -83,6 +83,13 @@ def _norm_words(col: Column) -> Column:
     return F.split(_norm(col), " ")
 
 
+def _word_ngrams_of_norm(normed: Column, n: int) -> Column:
+    """:func:`_word_ngrams` over ALREADY-normalized text (callers that
+    share one ``_norm`` across several derivations)."""
+    pat = r"(?=(?:^| )(\S+" + r" \S+" * (n - 1) + r"))"
+    return F.regexp_extract_all(normed, F.lit(pat), 1)
+
+
 def _word_ngrams(col: Column, n: int) -> Column:
     """Space-joined word n-grams of a TEXT column in one compiled regex
     pass: whitespace-normalize, then capture ``n`` words at every word
@@ -94,8 +101,7 @@ def _word_ngrams(col: Column, n: int) -> Column:
     of interpreted: the HOF allocated a sliced array per position and
     was the measured hot 80% of the whole curation chain (doc-gram
     explode on the 20k-doc scaling corpus: 21.9s → ~2s; whole chain 29s → 10s)."""
-    pat = r"(?=(?:^| )(\S+" + r" \S+" * (n - 1) + r"))"
-    return F.regexp_extract_all(_norm(col), F.lit(pat), 1)
+    return _word_ngrams_of_norm(_norm(col), n)
 
 
 def decontaminate(
@@ -245,52 +251,65 @@ def repetition_signals(
     thresholds (defaults chosen to split the synthetic corpus; Gopher's
     published thresholds are for web text).
 
-    Scale design: explode words / bigrams and aggregate — both shuffles are
-    keyed by ``(id, token)`` then ``id`` and are fully partial-aggregated
-    map-side (counts), so the shuffled volume is bounded by the distinct
-    token count per document, not the token count.  No window functions, no
-    Python.
+    Scale design (single-pass since r5 — the r4 shape scanned and
+    normalized the input once per branch and joined the two stats):
+    ONE scan produces the normalized text, ONE explode emits words and
+    bigrams together (after normalization a word can never contain a
+    space and a bigram always does, so ``instr(_t, ' ')`` is the kind
+    tag — no interpreted HOF, no struct building), and two aggregations
+    — keyed ``(id, kind, token)`` then ``id``, both fully
+    partial-aggregated map-side (counts) — produce every signal with
+    conditional aggregates.  Shuffled volume is bounded by the distinct
+    token count per document, not the token count.  No join, no window
+    functions, no Python.
     """
-    words = _norm_words(F.col(text_col))
+    normed = _norm(F.col(text_col))
     base = _spread(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("_id"), words.alias("_w")
+        F.col(id_col).alias("_id"), normed.alias("_nt")
     )
+    # words = split of the normalized text ([''] for empty text — the
+    # shared one-empty-passage edge, identical to _norm_words); bigrams
+    # via the compiled-regex lookahead over the SAME normalized column
+    rows = base.select(
+        "_id",
+        F.explode(
+            F.concat(
+                F.split(F.col("_nt"), " "), _word_ngrams_of_norm(F.col("_nt"), 2)
+            )
+        ).alias("_t"),
+    ).select("_id", (F.instr("_t", " ") > 0).alias("_bg"), "_t")
 
-    word_rows = base.select("_id", F.explode("_w").alias("_word"))
-    word_stats = (
-        word_rows.groupBy("_id", "_word")
+    is_w = ~F.col("_bg")
+    stats = (
+        rows.groupBy("_id", "_bg", "_t")
         .agg(F.count("*").alias("_c"))
         .groupBy("_id")
         .agg(
-            F.sum("_c").alias("n_words"),
-            (F.max("_c") / F.sum("_c")).alias("top_word_frac"),
-            (F.sum(F.length("_word") * F.col("_c")) / F.sum("_c")).alias("mean_word_len"),
+            F.sum(F.when(is_w, F.col("_c")).otherwise(F.lit(0))).alias("n_words"),
+            F.max(F.when(is_w, F.col("_c"))).alias("_topc"),
+            F.sum(
+                F.when(is_w, F.length("_t") * F.col("_c")).otherwise(F.lit(0))
+            ).alias("_wlen"),
+            # after the first agg each row IS a distinct token, so the
+            # bigram row count = distinct bigrams, sum(_c) = total
+            F.sum(F.when(F.col("_bg"), F.col("_c")).otherwise(F.lit(0))).alias("_nbg"),
+            F.count(F.when(F.col("_bg"), F.lit(1))).alias("_dbg"),
         )
     )
 
-    # compiled-regex bigram pass (see _word_ngrams) — the slice+concat
-    # HOF here was the second-hottest step of the curation chain
-    bigrams = _spread(docs.select(id_col, text_col)).select(
-        F.col(id_col).alias("_id"),
-        F.explode(_word_ngrams(F.col(text_col), 2)).alias("_bg"),
-    )
-    bigram_stats = bigrams.groupBy("_id").agg(
-        (F.lit(1.0) - F.count_distinct("_bg") / F.count("*")).alias("dup_bigram_frac")
-    )
-
-    return (
-        word_stats.join(bigram_stats, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            "n_words",
-            F.round("top_word_frac", 6).alias("top_word_frac"),
-            F.round(F.coalesce("dup_bigram_frac", F.lit(0.0)), 6).alias("dup_bigram_frac"),
-            F.round("mean_word_len", 6).alias("mean_word_len"),
-            (
-                (F.col("top_word_frac") <= max_top_word_frac)
-                & (F.coalesce("dup_bigram_frac", F.lit(0.0)) <= max_dup_bigram_frac)
-            ).alias("keep"),
-        )
+    top_frac = F.col("_topc") / F.col("n_words")
+    dup_frac = F.when(
+        F.col("_nbg") > 0, F.lit(1.0) - F.col("_dbg") / F.col("_nbg")
+    ).otherwise(F.lit(0.0))
+    return stats.select(
+        F.col("_id").alias(id_col),
+        "n_words",
+        F.round(top_frac, 6).alias("top_word_frac"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        F.round(F.col("_wlen") / F.col("n_words"), 6).alias("mean_word_len"),
+        (
+            (top_frac <= max_top_word_frac) & (dup_frac <= max_dup_bigram_frac)
+        ).alias("keep"),
     )
 
 

@@ -483,18 +483,30 @@ def ngram_jaccard_pairs(
       collision-free by construction.  Measured at sf0.1: 13.3s (r3
       est + hashed-array path) → ~5s.
 
-    * |U| > max_universe: the general path — est-filter (3.5σ margin at
-      64 perms → candidate threshold 0.78x) on deduplicated pairs, then
-      a size-ratio prune (J ≤ min|G|/max|G|, recall-exact) and a
+    * |U| > max_universe: the general path — deduplicated band pairs,
+      a size-ratio prune (J ≤ min|G|/max|G|, recall-exact), and a
       union-free xxhash64(gram)-array intersect (|A∪B| = |A|+|B|−|∩|;
-      collision absence asserted in tests/test_dedup.py).
+      collision absence asserted in tests/test_dedup.py).  The r4
+      version interposed a minhash est-filter before the prune; the
+      est comparison is a zip_with HOF — INTERPRETED, ~2.6s per 5.2M
+      pairs — plus two 64-long-signature joins, while everything it
+      saved (exact intersects on pairs est would kill) runs in
+      codegen'd built-ins.  Dropping it (r5) is also recall-safer:
+      exactness now depends only on banding recall, not banding AND
+      the est margin.
 
     At 100 TB: both paths keep the payload out of the self-join — the
     band stream is (band, bh, id) rows; the bitmap (resp. gram-array)
     table joins in by id afterwards, broadcast when it fits, shuffle
     otherwise.  The bitmap path's dictionary is ≤ max_universe rows —
     always broadcastable; its per-doc payload is ⌈|U|/64⌉+2 longs,
-    independent of doc length."""
+    independent of doc length.
+
+    NOTE: constructing this plan EXECUTES Spark jobs (the shingle-scan
+    materialize and the |U| distinct-count probe) — the physical
+    strategy is chosen from the data at build time, so building
+    without collecting still costs two small jobs, and plan-shape
+    tests must pick their path via ``max_universe``."""
     # ONE shingle scan feeds everything: the universe probe, and either
     # the bitmap encoding or the fallback's hashed arrays + sizes
     gsets = materialize(
@@ -507,11 +519,15 @@ def ngram_jaccard_pairs(
         return _ngram_bitmap_pairs(
             gsets, ex, udict, u, threshold, max_bucket
         )
-    cand = minhash_candidate_pairs(
-        gsets, "id", "gs",
-        threshold=threshold * 0.78, max_bucket=max_bucket, shingle_words=False,
+    _, raw = _lsh_raw_band_pairs(
+        gsets, "id", "gs", threshold * 0.78, max_bucket, False, "xxhash64",
         tokens_ready=True,
     )
+    # cross-band pair dedup (the band phase's hot agg — see
+    # minhash_candidate_pairs for the wide-repartition rationale); no
+    # est tier here, every survivor goes straight to the exact verify
+    n_parts = 4 * df.sparkSession.sparkContext.defaultParallelism
+    cand = raw.repartition(n_parts, "a", "b").dropDuplicates()
     grams = gsets.select(
         "id", F.transform(F.col("gs"), lambda g: F.xxhash64(g)).alias("g")
     )

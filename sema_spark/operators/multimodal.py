@@ -4,10 +4,11 @@ metadata.
 The Spark-side contract is real and tested — schemas, Arrow batch shape,
 partition-stable UDF signatures, frame-sample fan-out.  Codec status:
 
-* PPM (P6) and 24-bit BMP images and PCM-16 WAV audio are decoded FOR
-  REAL — pure-numpy spec-walking parsers (:func:`decode_ppm`,
-  :func:`decode_bmp`, :func:`decode_wav`) feeding genuine
-  pixel/sample statistics into the feature vector.  Their round trip is
+* PPM (P6), 24-bit BMP, and 8-bit-RGB PNG images (stdlib-zlib inflate +
+  full five-filter scanline reconstruction) and PCM-16 WAV audio are
+  decoded FOR REAL — pure-numpy spec-walking parsers (:func:`decode_ppm`,
+  :func:`decode_bmp`, :func:`decode_png`, :func:`decode_wav`) feeding
+  genuine pixel/sample statistics into the feature vector.  Their round trip is
   gated by an oracle that recomputes the statistics from the pixel/sample
   GENERATING FORMULA without ever touching the codec
   (``multimodal_real_decode`` in __spark_entry__).
@@ -148,6 +149,144 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return out
 
 
+PNG_MIME = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 8-bit truecolor PNG (stdlib zlib deflate).
+
+    Each scanline is written with filter type ``row % 5`` — None, Sub,
+    Up, Average, Paeth in rotation — so a decoder must implement the
+    ENTIRE filter suite of the spec (not just the lazy filter-0 case)
+    to reproduce the pixels; the container-blind pattern oracle then
+    gates all five reconstruction paths at once."""
+    import zlib
+
+    h, w = pixels.shape[:2]
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    bpp = 3
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    out = bytearray()
+    for r in range(h):
+        raw = px[r].reshape(-1)
+        f = r % 5
+        if f == 0:
+            filt = raw
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.uint8), raw[:-bpp]])
+            filt = raw - left  # uint8 wraparound == mod 256
+        elif f == 2:  # Up
+            filt = raw - prev
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.uint8), raw[:-bpp]])
+            avg = (left.astype(np.uint16) + prev.astype(np.uint16)) // 2
+            filt = raw - avg.astype(np.uint8)
+        else:  # Paeth
+            filt = np.empty_like(raw)
+            for i in range(len(raw)):
+                a = int(raw[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                filt[i] = (int(raw[i]) - _paeth(a, b, c)) % 256
+        out.append(f)
+        out += filt.tobytes()
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB, no interlace
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit truecolor PNG → (h, w, 3) uint8 RGB.  Pure stdlib-zlib +
+    numpy spec walking, same pattern as :func:`decode_bmp`: chunk list
+    (multi-IDAT concatenation), IHDR geometry checks, inflate, then
+    per-scanline reconstruction of ALL FIVE filter types (None/Sub/Up/
+    Average/Paeth §9 of the spec).  Interlace and non-RGB8 color types
+    are out of scope and raise."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i = len(_PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"only 8-bit RGB non-interlaced supported, got depth={depth} "
+                    f"color={color} interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + size  # len + type + body + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match geometry")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up — vectorized
+            rec = (line + prev) % 256
+        elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential left dep
+            rec = np.empty(stride, np.int64)
+            for j in range(stride):
+                a = rec[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(int(a), int(b), int(c))
+                rec[j] = (line[j] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {f}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, 3)
+
+
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
     """1-D int16 samples → RIFF/WAVE (PCM 16-bit mono)."""
     data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
@@ -220,6 +359,8 @@ def _feature_for(mime: str, payload: bytes | None, strict: bool) -> list[float]:
         return image_feature(decode_ppm(bytes(payload)))
     if payload is not None and mime == BMP_MIME:
         return image_feature(decode_bmp(bytes(payload)))
+    if payload is not None and mime == PNG_MIME:
+        return image_feature(decode_png(bytes(payload)))
     if payload is not None and mime == WAV_MIME:
         rate, samples = decode_wav(bytes(payload))
         return audio_feature(rate, samples)
@@ -326,18 +467,19 @@ def _pattern_audio(i: int) -> tuple[int, np.ndarray]:
 
 
 def synthetic_real_media(spark, n: int = 16) -> DataFrame:
-    """Media table whose payloads are REAL containers (P6 PPM or 24-bit
-    BMP images — alternating, so the gate proves BOTH image codecs —
-    and PCM-16 WAV audio) built from the deterministic patterns above.
-    The oracle computes features straight from the patterns, container-
-    blind, so swapping containers never changes the expected values."""
+    """Media table whose payloads are REAL containers (P6 PPM, 24-bit
+    BMP, or 8-bit-RGB PNG images — rotating, so the gate proves ALL
+    THREE image codecs — and PCM-16 WAV audio) built from the
+    deterministic patterns above.  The oracle computes features straight
+    from the patterns, container-blind, so swapping containers never
+    changes the expected values."""
+    img_codecs = [(PPM_MIME, encode_ppm), (BMP_MIME, encode_bmp), (PNG_MIME, encode_png)]
     rows = []
     for i in range(n):
         if i % 2 == 0:
             px = _pattern_image(i)
             h, w = px.shape[:2]
-            mime = BMP_MIME if i % 4 == 2 else PPM_MIME
-            enc = encode_bmp if i % 4 == 2 else encode_ppm
+            mime, enc = img_codecs[(i // 2) % 3]
             rows.append(
                 (i, "image", mime, bytearray(enc(px)),
                  {"width": w, "height": h, "duration_ms": None, "sample_rate": None})

@@ -161,3 +161,55 @@ def test_real_media_includes_bmp(spark):
     assert mimes[2] == BMP_MIME and mimes[0] == PPM_MIME
     out = decode_features(media, strict=True)  # strict: every mime must decode for real
     assert out.count() == 16
+
+
+def test_png_round_trip_all_filters():
+    """PNG codec: the encoder writes scanline filter ``row % 5``, so any
+    image with h >= 5 exercises None/Sub/Up/Average/Paeth; decode must
+    reconstruct all five.  Plus geometry variety, unsupported-shape and
+    non-PNG rejection."""
+    import numpy as np
+    import pytest
+
+    from sema_spark.operators.multimodal import decode_png, encode_png
+
+    for w, h in ((33, 7), (32, 24), (1, 1), (3, 5), (40, 6)):
+        px = ((np.arange(h * w * 3) * 31 + 7) % 256).astype(np.uint8).reshape(h, w, 3)
+        buf = encode_png(px)
+        assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+        assert np.array_equal(decode_png(buf), px), (w, h)
+    # adversarial content for the predictors: random bytes
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(11, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+    with pytest.raises(ValueError):
+        decode_png(b"BM\x00not-a-png")
+    # 16-bit depth is out of scope and must raise, not mis-decode
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad)
+
+
+def test_real_media_includes_png(spark):
+    """The real-media fixture rotates PPM/BMP/PNG images; strict decode
+    (no fake path) must succeed for every container."""
+    from sema_spark.operators.multimodal import (
+        BMP_MIME,
+        PNG_MIME,
+        PPM_MIME,
+        decode_features,
+        synthetic_real_media,
+    )
+
+    media = synthetic_real_media(spark, 16)
+    mimes = {r.media_id: r.mime for r in media.select("media_id", "mime").collect()}
+    assert mimes[0] == PPM_MIME and mimes[2] == BMP_MIME and mimes[4] == PNG_MIME
+    assert decode_features(media, strict=True).count() == 16
