@@ -385,13 +385,19 @@ def pack_sequences(
     n_shards: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sequence packing for pretraining batches: assign each document to
     a fixed-token-capacity bin (next-fit over a deterministic order), so
     downstream training reads near-full, fixed-budget concatenation
     groups instead of padding per document.
 
-    Returns ``(id_col, shard, bin_idx, n_tokens)``.  Bin assignment is
+    Returns ``(id_col, shard, bin_idx, n_tokens, *carry)`` — ``carry``
+    names extra per-document columns of ``docs`` to thread through the
+    fold unchanged (they never influence packing), which lets a
+    composition avoid a post-packing join back to per-doc attributes
+    (curation_chain threads the interleave schedule through this way
+    instead of joining two branches).  Bin assignment is
     next-fit: documents are visited in ``id`` order within a shard and a
     new bin opens when the current one cannot fit the next document (a
     document larger than ``capacity`` occupies a bin alone).
@@ -414,7 +420,9 @@ def pack_sequences(
         F.col(id_col),
         (sha_bucket(F.col(id_col)) % n_shards).alias("shard"),
         n_tokens.cast("long").alias("n_tokens"),
+        *[F.col(c) for c in carry],
     )
+    out_cols = [id_col, "shard", "bin_idx", "n_tokens", *carry]
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -427,11 +435,12 @@ def pack_sequences(
             fill += int(t)
             bins.append(b)
         pdf["bin_idx"] = pd.Series(bins, dtype="int64")
-        return pdf[[id_col, "shard", "bin_idx", "n_tokens"]]
+        return pdf[out_cols]
 
-    return base.groupBy("shard").applyInPandas(
-        pack, f"{id_col} long, shard long, bin_idx long, n_tokens long"
+    schema = f"{id_col} long, shard long, bin_idx long, n_tokens long" + "".join(
+        f", {c} {docs.schema[c].dataType.simpleString()}" for c in carry
     )
+    return base.groupBy("shard").applyInPandas(pack, schema)
 
 
 def curation_chain(
@@ -483,16 +492,30 @@ def curation_chain(
         .where(F.col("n_kept") > 0)
         .select("doc_id", F.col("clean_text").alias("text"))
     )
-    packed = pack_sequences(cleaned, capacity=capacity, n_shards=n_shards)
-    mix = weighted_interleave(
+    # interleave THEN pack, threading the schedule columns through the
+    # packing fold (carry=) — the r4 shape computed the two as parallel
+    # branches off `cleaned` and joined on doc_id, paying the join's
+    # exchanges plus a barrier.  Value-identical because every chain
+    # source must carry a positive weight (see below), so the interleave
+    # drops no documents and packing sees the same id-ordered set.
+    # CONTRACT: `weights` must cover every source with weight > 0 —
+    # excluding a source belongs upstream of the chain; with a partial
+    # weight map this fused shape would pack only the surviving mix
+    # (dense bins) where the old two-branch shape packed everything and
+    # dropped afterwards (holey bins).
+    mixed = weighted_interleave(
         cleaned.join(docs.select("doc_id", "source"), "doc_id"),
         weights,
         source_col="source",
         id_col="doc_id",
+        keep_cols=("text",),
     )
-    return packed.join(mix, "doc_id").select(
-        "doc_id", "shard", "bin_idx", "n_tokens", "source", "rn_in_source", "vt"
-    )
+    return pack_sequences(
+        mixed,
+        capacity=capacity,
+        n_shards=n_shards,
+        carry=("source", "rn_in_source", "vt"),
+    ).select("doc_id", "shard", "bin_idx", "n_tokens", "source", "rn_in_source", "vt")
 
 
 def weighted_interleave(
@@ -501,14 +524,16 @@ def weighted_interleave(
     *,
     source_col: str,
     id_col: str,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic training-mix interleaving: order documents so that
     sources appear in proportion to ``weights`` (stride scheduling — the
     k-th document of a source sits at virtual time ``k / weight``, so a
     weight-0.5 source appears half as often per unit of output).
 
-    Returns ``(id_col, source_col, rn_in_source, vt)`` where ``vt`` is
-    the virtual-time sort key.  Sources absent from ``weights`` — and
+    Returns ``(id_col, source_col, rn_in_source, vt, *keep_cols)``
+    where ``vt`` is the virtual-time sort key (``keep_cols`` ride
+    through untouched so a downstream stage needs no join back).  Sources absent from ``weights`` — and
     sources with weight <= 0, the natural way to express "exclude" — are
     dropped.  Within a source, documents are visited in sha256-bucket
     order (then id) — a deterministic shuffle that breaks corpus-order
@@ -528,12 +553,18 @@ def weighted_interleave(
         # weight <= 0 must drop, not divide: rn / 0.0 is null under
         # non-ANSI division and an error under ANSI mode
         docs.where(frac.isNotNull() & (frac > 0))
-        .select(F.col(id_col), F.col(source_col), frac.alias("_w"))
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            frac.alias("_w"),
+            *[F.col(c) for c in keep_cols],
+        )
         .withColumn("rn_in_source", F.row_number().over(w).cast("bigint"))
         .select(
             id_col,
             source_col,
             "rn_in_source",
             F.round(F.col("rn_in_source") / F.col("_w"), 6).alias("vt"),
+            *keep_cols,
         )
     )

@@ -89,7 +89,11 @@ def steal():
 
 def run():
     s0, t0 = steal(), time.time()
-    n = curation_chain(src, weights=weights, n_shards={cores} * 2).count()
+    # n_shards is held CONSTANT across parallelism levels ({n_shards} =
+    # 2x the HIGH level's cores) so both levels run byte-identical work
+    # — a per-level shard count would change the packing job itself and
+    # flatter the measured speedup
+    n = curation_chain(src, weights=weights, n_shards={n_shards}).count()
     return n, time.time() - t0, steal() - s0
 
 run()  # warm-up: JIT, Python worker pool
@@ -157,8 +161,8 @@ def hw_throughput(procs: int, work: int = 20_000_000, reps: int = 3) -> float:
     return best
 
 
-def run_level(cores: int, corpus: str, job: str = JOB) -> dict:
-    code = job.format(repo=REPO, cores=cores, corpus=corpus)
+def run_level(cores: int, corpus: str, job: str = JOB, n_shards: int = 32) -> dict:
+    code = job.format(repo=REPO, cores=cores, corpus=corpus, n_shards=n_shards)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
@@ -172,6 +176,12 @@ def make_report(lo: dict, hi: dict, low: int, high: int, hw_eff: float, rate_key
     speedup = hi[rate_key] / lo[rate_key]
     efficiency = speedup / (high / low)
     sw_eff = efficiency / hw_eff if hw_eff > 0 else None
+    # software efficiency > 1.0 is physically meaningless (the job
+    # cannot out-scale the hardware it runs on) — it means the
+    # calibration probe under-measured the machine in that window
+    # (steal spike during the probe), so it is REPORTED but NOT a pass
+    # input; only a sane calibration may normalize the raw number.
+    cal_ok = sw_eff is not None and sw_eff <= 1.0
     return {
         "low": lo,
         "high": hi,
@@ -179,8 +189,9 @@ def make_report(lo: dict, hi: dict, low: int, high: int, hw_eff: float, rate_key
         "scaling_efficiency": round(efficiency, 3),
         "hardware_efficiency": round(hw_eff, 3),
         "software_efficiency": round(sw_eff, 3),
+        "calibration_ok": cal_ok,
         "target": 0.8,
-        "pass": efficiency >= 0.8 or (sw_eff is not None and sw_eff >= 0.8),
+        "pass": efficiency >= 0.8 or (cal_ok and sw_eff >= 0.8),
     }
 
 
@@ -203,15 +214,16 @@ def main() -> int:
     hw_lo = hw_throughput(low)
     lo = run_level(low, corpus)
     hi = run_level(high, corpus)
-    clo = run_level(low, CURATION_CORPUS, JOB_CURATION)
-    chi = run_level(high, CURATION_CORPUS, JOB_CURATION)
+    shards = high * 2  # constant across levels: identical work at both
+    clo = run_level(low, CURATION_CORPUS, JOB_CURATION, n_shards=shards)
+    chi = run_level(high, CURATION_CORPUS, JOB_CURATION, n_shards=shards)
     # overhead probe: the same chain over CURATION_DOCS_SMALL docs is
     # ~pure fixed cost (driver-serial Catalyst planning + one job-
     # launch barrier per materialize/collect) — identical on a real
     # cluster per QUERY, not per data volume, so the amortized-work
     # efficiency below is what a 1000-executor run would see
-    olo = run_level(low, CURATION_CORPUS_SMALL, JOB_CURATION)
-    ohi = run_level(high, CURATION_CORPUS_SMALL, JOB_CURATION)
+    olo = run_level(low, CURATION_CORPUS_SMALL, JOB_CURATION, n_shards=shards)
+    ohi = run_level(high, CURATION_CORPUS_SMALL, JOB_CURATION, n_shards=shards)
     hw_hi = hw_throughput(high)
 
     hw_eff = (hw_hi / hw_lo) / (high / low)
@@ -256,8 +268,8 @@ here.
   (hypervisor steal up to ~25% of CPU observed via /proc/stat) and its
   effective parallelism tops out near 16 threads, so no software can
   reach 1.0 here.
-* **software scaling efficiency** (pipeline / hardware): **{report['software_efficiency']}**
-  (target >= 0.8: {'PASS' if report['pass'] else 'FAIL'})
+* **software scaling efficiency** (pipeline / hardware): **{report['software_efficiency']}**{'' if report['calibration_ok'] else ' — ABOVE 1.0: physically meaningless, the calibration probe under-measured the machine in this window (steal spike); NOT used as a pass input'}
+  (target >= 0.8 on raw{' or calibrated' if report['calibration_ok'] else ''}: {'PASS' if report['pass'] else 'FAIL'})
 
 ## Scaling efficiency — curation chain (second profile)
 
@@ -267,10 +279,11 @@ passage dedup → applyInPandas sequence packing → weighted interleave;
 `curation_v2` grades) over a deterministic synthetic corpus of
 {clo['docs']:,} (near-)unique docs x {CURATION_WORDS} seeded-hash words.  A deliberately
 different scaling profile from the narrow-map extraction: windows,
-multi-stage shuffles, and a Python applyInPandas stage (`n_shards` set
-to 2x cores per level — the packing-parallelism knob a real cluster
-scales with its executor count).  Same protocol: JVM warm-up, 4 runs
-per level, fastest run.
+multi-stage shuffles, and a Python applyInPandas stage (`n_shards` held
+CONSTANT at 2x the high level's cores so both levels run byte-identical
+work — a per-level shard count would change the packing job itself and
+flatter the speedup).  Same protocol: JVM warm-up, 4 runs per level,
+fastest run.
 
 | parallelism | wall sec | docs/sec | all runs (sec) | steal (jiffies) |
 |---|---|---|---|---|
@@ -280,7 +293,7 @@ per level, fastest run.
 * chain speedup {low}->{high} cores: **{creport['speedup']}x** (ideal {high // low}x)
 * chain scaling efficiency: **{creport['scaling_efficiency']}** — raw
 * software scaling efficiency (chain / hardware calibration above):
-  **{creport['software_efficiency']}** (target >= 0.8:
+  **{creport['software_efficiency']}**{'' if creport['calibration_ok'] else ' — ABOVE 1.0: broken calibration window, NOT a pass input'} (target >= 0.8 on raw{' or calibrated' if creport['calibration_ok'] else ''}:
   {'PASS' if creport['pass'] else 'FAIL'})
 * **fixed-overhead probe**: the identical chain over a
   {CURATION_DOCS_SMALL}-doc corpus (data work ≈ 0) costs
