@@ -253,6 +253,24 @@ def q_j2_cosine_topk(spark, sf):
     return cosine_topk(emb, [float(x) for x in qvec], k=10)
 
 
+def q_knn_join_topk(spark, sf):
+    """Batch kNN join (J2 generalized): the 5 lowest-id embeddings as a
+    query BATCH, each answered with its exact top-3 candidates in ONE
+    pass over the candidate table — the broadcast side is the query
+    set, candidates never shuffle (the plan a 10^2-10^4-query batch
+    against a 100 TB corpus wants).  Scores are the sequential HOF
+    cosine at round-6, so DuckDB's list_cosine_similarity over double[]
+    replicates them bit-for-bit."""
+    from sema_spark.operators.similarity import knn_join
+
+    emb = _table(spark, sf, "embeddings")
+    queries = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = knn_join(queries, emb, k=3)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
 def _augmented_embeddings(spark, sf):
     """embeddings ∪ deterministic near-duplicates (vec_id<20 scaled by
     1.001 at id+100000) — the base table has no cosine-≥0.8 pairs, so
@@ -1312,6 +1330,7 @@ def _build_registry():
         "embedding_dedup_lsh": q_embedding_dedup_lsh,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "j2_cosine_topk": q_j2_cosine_topk,
+        "knn_join_topk": q_knn_join_topk,  # NEW r5
         "ann_ivf_topk": q_ann_ivf_topk,
         "bpe_merges": q_bpe_merges,
         "bpe_merges_batched": q_bpe_merges_batched,
@@ -1333,11 +1352,11 @@ def _build_registry():
         "a4_query_parser": q_a4_query_parser,
         "f_filters": q_f_filters,
         "a1_window_dedup": q_a1_window_dedup,
-        "j1_anti_join": q_j1_anti_join,
         # ---------------- position 50 boundary -----------------------
         # ALL of the below were driver-graded GREEN in round 4
         # (CORRECTNESS_r04.json) and rotate back into the window in
         # round 6; simulator-checked meanwhile.
+        "j1_anti_join": q_j1_anti_join,
         "j3_broadcast_join": q_j3_broadcast_join,
         "decontaminate": q_decontaminate,
         "dedup_passages": q_dedup_passages,
@@ -1501,6 +1520,18 @@ def oracle_sql() -> dict[str, str]:
                          (select cast(embedding as double[]) from embeddings where vec_id = 0)), 6) as score
             from embeddings
             order by score desc, vec_id limit 10
+        """,
+        "knn_join_topk": """
+            with q as (select vec_id as q_id, cast(embedding as double[]) as qv
+                       from embeddings where vec_id < 5),
+            scored as (
+              select q.q_id, e.vec_id,
+                     round(list_cosine_similarity(cast(e.embedding as double[]), q.qv), 6) as score
+              from embeddings e cross join q),
+            ranked as (select *, row_number() over (partition by q_id
+                                 order by score desc, vec_id) as rank
+                       from scored)
+            select q_id, vec_id, score, rank from ranked where rank <= 3
         """,
         "cosine_dup_pairs": """
             with aug as (

@@ -137,6 +137,31 @@ def main() -> int:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
 
+    # Stored ANN index (sources/ann_index): the build is a ONE-TIME cost
+    # amortized over every later query at 100 TB, so the two are timed
+    # separately — build cold into a fresh dir, then best-of-2 on the
+    # partition-pruned stored query (no retrain, no _ensure-oracle
+    # machinery: this times the engine, not the grading harness).
+    import shutil
+    import tempfile
+
+    from sema_spark.sources.ann_index import build_ivf_index, ivf_stored_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    idx_dir = tempfile.mkdtemp(prefix="sema_bench_ivf_")
+    t0 = time.time()
+    build_ivf_index(emb, idx_dir, n_clusters=8, iterations=3)
+    timings["ann_ivf_index_build"] = round(time.time() - t0, 3)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        _consume(ivf_stored_topk(spark, idx_dir, qvec, k=10, probes=2))
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    timings["ann_ivf_stored_query"] = round(best, 3)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
     # North-rule headline: triples/sec on the synthetic repo corpus.
     # Same job shape as tools/bench_scaling.py: file-split parallelism
     # (the corpus ships as ~125 files), no repartition shuffle; one
