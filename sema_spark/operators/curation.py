@@ -487,7 +487,10 @@ def curation_chain(
             keep_ids, "doc_id", "left_semi"
         )
     )
-    cleaned = materialize(
+    # no materialize barrier here since r5: after the pack/interleave
+    # fusion below, `cleaned` has exactly ONE consumer (the r4 shape fed
+    # two branches from it), so a cut would only cost a write+read
+    cleaned = (
         dedup_passages(train, passage_words=passage_words)
         .where(F.col("n_kept") > 0)
         .select("doc_id", F.col("clean_text").alias("text"))
