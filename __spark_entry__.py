@@ -271,6 +271,36 @@ def q_knn_join_topk(spark, sf):
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
+def q_ann_ivf_incr_topk(spark, sf):
+    """INCREMENTALLY-built stored IVF index (the reference's maintenance
+    loop, storage/mod.rs:30-52): the quantizer trains only on the lower
+    half of the corpus (vec_id < count//2), is frozen into the stored
+    index, and the rest arrives via ivf_index_append — assigned by the
+    frozen quantizer, anti-joined so re-appending is a no-op (the
+    append runs on EVERY grading call; on a warm index it must append
+    nothing, so idempotence itself is under the gate).  Oracle = an
+    independent python replica of train-on-half → frozen-assign-all →
+    probe → sequential cosine (ivf_kmeans_incr.parquet)."""
+    from sema_spark.sources.ann_index import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_ready,
+        ivf_stored_topk,
+    )
+
+    _ensure_kmeans_expected(sf)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    half = emb.count() // 2
+    idx = _ivf_index_dir(sf) + "_incr"
+    if not ivf_index_ready(idx):
+        build_ivf_index(
+            emb.filter(F.col("vec_id") < half), idx, n_clusters=8, iterations=3
+        )
+    ivf_index_append(emb, idx)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").collect()[0].embedding]
+    return ivf_stored_topk(spark, idx, qvec, k=10, probes=2)
+
+
 def _augmented_embeddings(spark, sf):
     """embeddings ∪ deterministic near-duplicates (vec_id<20 scaled by
     1.001 at id+100000) — the base table has no cosine-≥0.8 pairs, so
@@ -893,7 +923,7 @@ def _ensure_kmeans_expected(sf: str) -> None:
         "path": _os.path.realpath(path),
         "mtime_ns": st.st_mtime_ns,
         "size": st.st_size,
-        "params": "k8_i5__ivf_i3_p2_q0",
+        "params": "k8_i5__ivf_i3_p2_q0__incr_half",
     }
     sidecar = f"{KG_EXPECTED_DIR}/kmeans.src.json"
     try:
@@ -1291,16 +1321,18 @@ def _build_registry():
     #   3. tools/check_oracles.py still value-checks ALL entries every
     #      round as the secondary signal.
     # Round 5: IN (rotated back) = the 17 entries past the r4 window;
-    # OUT (r4-green, return in r6) = j3_broadcast_join, decontaminate,
-    # dedup_passages, redact_pii, stratified_sample, sequence_packing,
-    # weighted_interleave, triangle_count, kg_label_propagation,
-    # tpch_q1_pricing, sessionization, events_windowed_agg,
-    # json_extract, w1_chunker, u1_encoder, dedup_exact,
-    # dedup_minhash_sha (17) + dedup_minhash (permanently rows-only —
-    # xxhash64 has no DuckDB form; its sha twin is hash-gated).
+    # OUT (all r4-green, return in r6) = a1_window_dedup, j1_anti_join,
+    # j3_broadcast_join, decontaminate, dedup_passages, redact_pii,
+    # stratified_sample, sequence_packing, weighted_interleave,
+    # triangle_count, kg_label_propagation, tpch_q1_pricing,
+    # sessionization, events_windowed_agg, json_extract, w1_chunker,
+    # u1_encoder, dedup_exact, dedup_minhash_sha (19) + dedup_minhash
+    # (permanently rows-only — xxhash64 has no DuckDB form; its sha
+    # twin is hash-gated).
     return {
         # -- changed or new in round 5: must be under the hard gate --
         "ann_ivf_stored_topk": q_ann_ivf_stored_topk,  # NEW r5
+        "ann_ivf_incr_topk": q_ann_ivf_incr_topk,  # NEW r5
         "kmeans_assign": q_kmeans_assign,  # expected-write path reworked r5
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # same
         "repetition_signals": q_repetition_signals,  # single-scan fusion r5
@@ -1351,11 +1383,11 @@ def _build_registry():
         "a4_bm25_search": q_a4_bm25_search,
         "a4_query_parser": q_a4_query_parser,
         "f_filters": q_f_filters,
-        "a1_window_dedup": q_a1_window_dedup,
         # ---------------- position 50 boundary -----------------------
         # ALL of the below were driver-graded GREEN in round 4
         # (CORRECTNESS_r04.json) and rotate back into the window in
         # round 6; simulator-checked meanwhile.
+        "a1_window_dedup": q_a1_window_dedup,
         "j1_anti_join": q_j1_anti_join,
         "j3_broadcast_join": q_j3_broadcast_join,
         "decontaminate": q_decontaminate,
@@ -2066,6 +2098,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_stored_topk": f"""
             select vec_id, score from read_parquet('{KG_EXPECTED_DIR}/ivf_kmeans.parquet')
         """,
+        "ann_ivf_incr_topk": f"""
+            select vec_id, score from read_parquet('{KG_EXPECTED_DIR}/ivf_kmeans_incr.parquet')
+        """,
         "bpe_compression_score": f"""
             select id, n_tokens, chars, ratio
             from read_parquet('{KG_EXPECTED_DIR}/bpe_compression.parquet')
@@ -2484,6 +2519,11 @@ def oracle_sql() -> dict[str, str]:
     if not kmeans_family_ok:
         # sf0.01 testdata absent/unreadable: degrade only the kmeans
         # family to the rows-only check instead of failing every oracle
-        for _k in ("kmeans_assign", "ann_ivf_kmeans_topk", "ann_ivf_stored_topk"):
+        for _k in (
+            "kmeans_assign",
+            "ann_ivf_kmeans_topk",
+            "ann_ivf_stored_topk",
+            "ann_ivf_incr_topk",
+        ):
             out.pop(_k, None)
     return out

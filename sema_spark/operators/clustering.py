@@ -281,6 +281,39 @@ def ivf_kmeans_topk_python(
     return scored[:k]
 
 
+def ivf_incremental_topk_python(
+    ids, vectors, qvec, id_threshold, k: int = 10, n_clusters: int = 8,
+    iterations: int = 3, probes: int = 2,
+):
+    """Oracle for the INCREMENTALLY-built stored index: the quantizer is
+    trained only on rows with id < ``id_threshold`` (the build half),
+    then FROZEN — every vector (old and appended) is assigned by it,
+    exactly :func:`sema_spark.sources.ann_index.ivf_index_append`'s
+    contract.  Probe + sequential cosine + (score desc, id) top-k as in
+    :func:`ivf_kmeans_topk_python`."""
+    ids = list(ids)
+    sub = [i for i in range(len(ids)) if ids[i] < id_threshold]
+    c, _, _ = _kmeans_python_fit(
+        [ids[i] for i in sub], [vectors[i] for i in sub], n_clusters, iterations
+    )
+    m = np.stack(
+        [np.asarray(v, dtype=np.float32).astype(np.float64) for v in vectors]
+    )
+    d = -2.0 * np.einsum("nd,kd->nk", m, c, optimize=False) + (c * c).sum(axis=1)[None, :]
+    a = np.argmin(d, axis=1)
+    q = np.asarray(qvec, dtype=np.float64)
+    dist = ((c - q[None, :]) ** 2).sum(axis=1)
+    probe = set(int(x) for x in np.argsort(dist, kind="stable")[:probes])
+    scored = [
+        (ids[i], _r6(s))
+        for i in range(len(ids))
+        if int(a[i]) in probe
+        and (s := _seq_cosine(vectors[i], q)) is not None
+    ]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]
+
+
 def write_expected_kmeans(
     out_dir: str, parquet_path: str, k: int = 8, iterations: int = 5
 ) -> None:
@@ -320,6 +353,21 @@ def write_expected_kmeans(
             {
                 "vec_id": [i for i, _ in top],
                 "score": [s for _, s in top],
+            }
+        ),
+    )
+    # incremental-stored-index twin: quantizer trained on ids below
+    # count//2, frozen, rest appended (same parameters as
+    # q_ann_ivf_incr_topk)
+    incr = ivf_incremental_topk_python(
+        ids, vecs, qvec, len(ids) // 2, k=10, n_clusters=k, iterations=3, probes=2
+    )
+    write(
+        "ivf_kmeans_incr.parquet",
+        pa.table(
+            {
+                "vec_id": [i for i, _ in incr],
+                "score": [s for _, s in incr],
             }
         ),
     )

@@ -117,3 +117,27 @@ def test_probe_scan_is_partition_pruned(spark, tmp_path):
     assert "cluster" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     # and the query is a top-k, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_matches_python_oracle(spark, tmp_path):
+    """Train-on-half → frozen-assign-all → probe: the Spark stored path
+    and the independent python replica must agree value-exactly."""
+    from sema_spark.operators.clustering import ivf_incremental_topk_python
+
+    ids, vecs = _blob_data(n=66, dim=6, seed=13)
+    emb = _df(spark, ids, vecs)
+    half = len(ids) // 2
+    idx = str(tmp_path / "ivf_incr")
+    build_ivf_index(
+        emb.where(F.col("vec_id") < half), idx, n_clusters=3, iterations=3
+    )
+    assert ivf_index_append(emb, idx) == len(ids) - half
+    q = [float(x) for x in vecs[0]]
+    got = [
+        (r.vec_id, r.score)
+        for r in ivf_stored_topk(spark, idx, q, k=7, probes=2).collect()
+    ]
+    exp = ivf_incremental_topk_python(
+        ids, vecs, q, half, k=7, n_clusters=3, iterations=3, probes=2
+    )
+    assert got == exp
