@@ -483,17 +483,18 @@ def ngram_jaccard_pairs(
       collision-free by construction.  Measured at sf0.1: 13.3s (r3
       est + hashed-array path) → ~5s.
 
-    * |U| > max_universe: the general path — deduplicated band pairs,
-      a size-ratio prune (J ≤ min|G|/max|G|, recall-exact), and a
+    * |U| > max_universe: the general path — est-filter (3.5σ margin at
+      64 perms → candidate threshold 0.78x) on deduplicated pairs, then
+      a size-ratio prune (J ≤ min|G|/max|G|, recall-exact) and a
       union-free xxhash64(gram)-array intersect (|A∪B| = |A|+|B|−|∩|;
-      collision absence asserted in tests/test_dedup.py).  The r4
-      version interposed a minhash est-filter before the prune; the
-      est comparison is a zip_with HOF — INTERPRETED, ~2.6s per 5.2M
-      pairs — plus two 64-long-signature joins, while everything it
-      saved (exact intersects on pairs est would kill) runs in
-      codegen'd built-ins.  Dropping it (r5) is also recall-safer:
-      exactness now depends only on banding recall, not banding AND
-      the est margin.
+      collision absence asserted in tests/test_dedup.py).  The est tier
+      is an interpreted zip_with HOF and was slated for removal in r5 —
+      but the MEASUREMENT went the other way (sf0.1 forced-fallback,
+      best-of-3): est path 11.6s, est removed 15.8s (+36%), size-prune-
+      before-est hybrid 11.6s.  est kills 5.23M → 1.66M pairs at 64
+      interpreted ops each, which is cheaper than the ~|G|-element
+      array_intersect it saves on the 3.57M pairs it removes (the size
+      prune alone only reaches 3.24M).  Kept, with the numbers.
 
     At 100 TB: both paths keep the payload out of the self-join — the
     band stream is (band, bh, id) rows; the bitmap (resp. gram-array)
@@ -519,15 +520,11 @@ def ngram_jaccard_pairs(
         return _ngram_bitmap_pairs(
             gsets, ex, udict, u, threshold, max_bucket
         )
-    _, raw = _lsh_raw_band_pairs(
-        gsets, "id", "gs", threshold * 0.78, max_bucket, False, "xxhash64",
+    cand = minhash_candidate_pairs(
+        gsets, "id", "gs",
+        threshold=threshold * 0.78, max_bucket=max_bucket, shingle_words=False,
         tokens_ready=True,
     )
-    # cross-band pair dedup (the band phase's hot agg — see
-    # minhash_candidate_pairs for the wide-repartition rationale); no
-    # est tier here, every survivor goes straight to the exact verify
-    n_parts = 4 * df.sparkSession.sparkContext.defaultParallelism
-    cand = raw.repartition(n_parts, "a", "b").dropDuplicates()
     grams = gsets.select(
         "id", F.transform(F.col("gs"), lambda g: F.xxhash64(g)).alias("g")
     )
