@@ -326,6 +326,26 @@ fastest run.
   round 3 (e.g. decontaminate 3.57->0.82s after _spread, tpch_q1
   1.22->0.95s).
 
+## Stored ANN index amortization (round 5)
+
+bench.py times the persisted IVF index (`sources/ann_index.py`) as two
+line items at sf0.1: `ann_ivf_index_build` ~7-8s (quantizer training +
+cluster-partitioned corpus write — paid ONCE per corpus version) vs
+`ann_ivf_stored_query` ~0.5s (driver-side probe pick + partition-pruned
+scan, no retrain) — a ~15x amortization that only widens with corpus
+size, since the query reads probes/k of the data while the in-plan
+operator (`ann_ivf_kmeans_topk`) re-trains on all of it per call.
+
+## Measured negative result: ngram est-tier removal (round 5)
+
+The fallback (large-gram-universe) path of `ngram_jaccard_pairs` keeps
+its interpreted minhash est-filter ON MEASUREMENT: forced-fallback at
+sf0.1 (best-of-3) runs 11.6s with est, 15.8s without (+36%), 11.6s with
+a size-prune-before-est hybrid.  est kills 5.23M -> 1.66M pairs at 64
+interpreted ops each — cheaper than the ~|G|-element array_intersect it
+saves; the size-ratio prune alone only reaches 3.24M.  Numbers also in
+the operator docstring.
+
 ## Why the job scales
 
 Stage 1 is one narrow map (scan -> sha2 -> regex banks in whole-stage
