@@ -1138,6 +1138,29 @@ def q_multimodal_real_decode(spark, sf):
     return out.select("media_id", "kind", F.size("feature").alias("dim"), *cols)
 
 
+def q_multimodal_resize(spark, sf):
+    """Image resize (training-pipeline thumbnailing): every fixture
+    image — PPM, BMP, and PNG containers alike — is decoded by its real
+    codec, nearest-neighbor resampled to 16x12 with an integer-exact
+    index map, re-encoded as canonical P6 PPM, then decoded AGAIN for
+    statistics.  Oracle = the same statistics computed pattern → resize
+    → stats with no codec anywhere (resized_features.parquet), so the
+    equality gates decode → resize → re-encode → decode end to end."""
+    from sema_spark.operators.multimodal import (
+        decode_features,
+        resize_media,
+        synthetic_real_media,
+    )
+
+    small = resize_media(synthetic_real_media(spark, 16), 16, 12, strict=True)
+    out = decode_features(small, strict=True)
+    cols = [
+        F.round(F.element_at("feature", j + 1).cast("double"), 6).alias(f"f{j}")
+        for j in range(9)
+    ]
+    return out.select("media_id", F.size("feature").alias("dim"), *cols)
+
+
 def q_decontaminate(spark, sf):
     """Test-set decontamination: flag training docs sharing any word
     n-gram with a benchmark set (benchmark = every 97th doc).  n=3 here
@@ -1321,14 +1344,14 @@ def _build_registry():
     #   3. tools/check_oracles.py still value-checks ALL entries every
     #      round as the secondary signal.
     # Round 5: IN (rotated back) = the 17 entries past the r4 window;
-    # OUT (all r4-green, return in r6) = a1_window_dedup, j1_anti_join,
-    # j3_broadcast_join, decontaminate, dedup_passages, redact_pii,
-    # stratified_sample, sequence_packing, weighted_interleave,
-    # triangle_count, kg_label_propagation, tpch_q1_pricing,
-    # sessionization, events_windowed_agg, json_extract, w1_chunker,
-    # u1_encoder, dedup_exact, dedup_minhash_sha (19) + dedup_minhash
-    # (permanently rows-only — xxhash64 has no DuckDB form; its sha
-    # twin is hash-gated).
+    # OUT (all r4-green, return in r6) = f_filters, a1_window_dedup,
+    # j1_anti_join, j3_broadcast_join, decontaminate, dedup_passages,
+    # redact_pii, stratified_sample, sequence_packing,
+    # weighted_interleave, triangle_count, kg_label_propagation,
+    # tpch_q1_pricing, sessionization, events_windowed_agg,
+    # json_extract, w1_chunker, u1_encoder, dedup_exact,
+    # dedup_minhash_sha (20) + dedup_minhash (permanently rows-only —
+    # xxhash64 has no DuckDB form; its sha twin is hash-gated).
     return {
         # -- changed or new in round 5: must be under the hard gate --
         "ann_ivf_stored_topk": q_ann_ivf_stored_topk,  # NEW r5
@@ -1339,6 +1362,7 @@ def _build_registry():
         "curation_v2": q_curation_v2,  # contains repetition stage
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # fallback tier reworked r5
         "multimodal_real_decode": q_multimodal_real_decode,  # + PNG codec r5
+        "multimodal_resize": q_multimodal_resize,  # NEW r5
         "multimodal_features": q_multimodal_features,  # shares media corpus
         # -- rotated back IN (past-window in r4; ADVICE item) --
         "f3_gitignore": q_f3_gitignore,
@@ -1382,8 +1406,8 @@ def _build_registry():
         "quality_score": q_quality_score,
         "a4_bm25_search": q_a4_bm25_search,
         "a4_query_parser": q_a4_query_parser,
-        "f_filters": q_f_filters,
         # ---------------- position 50 boundary -----------------------
+        "f_filters": q_f_filters,
         # ALL of the below were driver-graded GREEN in round 4
         # (CORRECTNESS_r04.json) and rotate back into the window in
         # round 6; simulator-checked meanwhile.
@@ -1423,8 +1447,11 @@ def oracle_sql() -> dict[str, str]:
     from sema_spark.corpus import write_expected_tables
     from sema_spark.operators.multimodal import write_expected_real_features
 
+    from sema_spark.operators.multimodal import write_expected_resized
+
     write_expected_tables(KG_EXPECTED_DIR, "xs")
     write_expected_real_features(MULTIMODAL_EXPECTED_DIR, 16)
+    write_expected_resized(MULTIMODAL_EXPECTED_DIR, 16, 16, 12)
     # kmeans/IVF expected: written here for the driver's pinned grading
     # scale (sf0.01) in case the oracle runs before the query, AND by
     # the queries themselves for whatever sf they actually receive
@@ -2237,6 +2264,11 @@ def oracle_sql() -> dict[str, str]:
             select media_id, kind, 64 as dim,
                    f0, f1, f2, f3, f4, f5, f6, f7, f8
             from read_parquet('{MULTIMODAL_EXPECTED_DIR}/real_features.parquet')
+        """,
+        "multimodal_resize": f"""
+            select media_id, 64 as dim,
+                   f0, f1, f2, f3, f4, f5, f6, f7, f8
+            from read_parquet('{MULTIMODAL_EXPECTED_DIR}/resized_features.parquet')
         """,
         "curation_pipeline": rf"""
             with feat as (

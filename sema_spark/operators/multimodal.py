@@ -353,20 +353,100 @@ def audio_feature(sample_rate: int, samples: np.ndarray, dim: int = FEATURE_DIM)
     return [float(v) for v in f.astype(np.float32)]
 
 
+_IMAGE_DECODERS = {
+    PPM_MIME: decode_ppm,
+    BMP_MIME: decode_bmp,
+    PNG_MIME: decode_png,
+}
+
+
+def _decode_image(mime: str, payload: bytes) -> np.ndarray | None:
+    """(h, w, 3) uint8 for a real image container, None if no codec."""
+    dec = _IMAGE_DECODERS.get(mime)
+    return dec(bytes(payload)) if dec else None
+
+
 def _feature_for(mime: str, payload: bytes | None, strict: bool) -> list[float]:
-    """Dispatch: real codecs for PPM/BMP/WAV; fake (or strict raise) elsewhere."""
-    if payload is not None and mime == PPM_MIME:
-        return image_feature(decode_ppm(bytes(payload)))
-    if payload is not None and mime == BMP_MIME:
-        return image_feature(decode_bmp(bytes(payload)))
-    if payload is not None and mime == PNG_MIME:
-        return image_feature(decode_png(bytes(payload)))
-    if payload is not None and mime == WAV_MIME:
-        rate, samples = decode_wav(bytes(payload))
-        return audio_feature(rate, samples)
+    """Dispatch: real codecs for PPM/BMP/PNG/WAV; fake (or strict raise)
+    elsewhere."""
+    if payload is not None:
+        px = _decode_image(mime, payload)
+        if px is not None:
+            return image_feature(px)
+        if mime == WAV_MIME:
+            rate, samples = decode_wav(bytes(payload))
+            return audio_feature(rate, samples)
     if strict:
         raise NotImplementedError(f"no decoder for {mime!r}: requires PIL/ffmpeg; wire it in here")
     return _fake_feature(bytes(payload) if payload is not None else None)
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample: output pixel (i, j)
+    takes source pixel ``((i*h)//out_h, (j*w)//out_w)`` — integer-exact
+    (no float coordinate math), so every engine that implements the
+    same convention agrees bit-for-bit.  The convention is the plain
+    floor(scale) map used by stb_image_resize's POINT_SAMPLE and
+    OpenCV's INTER_NEAREST at integer ratios."""
+    h, w = pixels.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return pixels[rows][:, cols]
+
+
+def resize_media(
+    df: DataFrame, out_w: int, out_h: int, strict: bool = False
+) -> DataFrame:
+    """IMAGE rows → re-encoded thumbnails (training-pipeline resize op).
+
+    Decodes each image payload with its real codec (PPM/BMP/PNG),
+    nearest-neighbor resamples to ``(out_w, out_h)``, and re-encodes in
+    the canonical P6 PPM container with updated meta — so a downstream
+    consumer reads one container regardless of the input zoo.  Arrow-
+    batched mapInPandas over (media_id, mime, bytes) only; non-image
+    rows are filtered out before Python ever sees them.  ``strict=True``
+    raises on containers without a real codec; ``strict=False`` skips
+    them (emitting nothing, like a corrupt-file drop at scale).
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_id": [], "kind": [], "mime": [], "bytes": [], "width": [], "height": []}
+            for mid, mime, payload in zip(pdf["media_id"], pdf["mime"], pdf["bytes"]):
+                if payload is None:
+                    continue
+                px = _decode_image(mime, payload)
+                if px is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"no decoder for {mime!r}: requires PIL/ffmpeg"
+                        )
+                    continue
+                small = resize_nearest(px, out_w, out_h)
+                out["media_id"].append(mid)
+                out["kind"].append("image")
+                out["mime"].append(PPM_MIME)
+                out["bytes"].append(encode_ppm(small))
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("mime", StringType(), False),
+            StructField("bytes", BinaryType(), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "mime", "bytes")
+        .mapInPandas(run, schema=schema)
+    )
 
 
 def decode_features(df: DataFrame, strict: bool = False) -> DataFrame:
@@ -529,6 +609,40 @@ def write_expected_real_features(out_dir: str, n: int = 16) -> None:
     tmp = f"{out_dir}/.tmp-{os.getpid()}-real_features.parquet"
     pq.write_table(pa.table(cols), tmp)
     os.replace(tmp, f"{out_dir}/real_features.parquet")
+
+
+def write_expected_resized(
+    out_dir: str, n: int = 16, out_w: int = 16, out_h: int = 12
+) -> None:
+    """Oracle data for ``multimodal_resize``: statistics of the
+    nearest-neighbor-resized generating patterns, computed pattern →
+    resize → stats WITHOUT any codec — Spark-vs-oracle equality
+    therefore gates decode → resize → re-encode(PPM) → decode → stats
+    end to end, for every input container in the fixture."""
+    import os
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+
+    cols = {"media_id": [], "dim": []}
+    for j in range(9):
+        cols[f"f{j}"] = []
+    for i in range(0, n, 2):  # images sit at even ids
+        feat = image_feature(resize_nearest(_pattern_image(i), out_w, out_h))
+        cols["media_id"].append(i)
+        cols["dim"].append(FEATURE_DIM)
+        for j in range(9):
+            cols[f"f{j}"].append(r6(feat[j]))
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{out_dir}/.tmp-{os.getpid()}-resized_features.parquet"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, f"{out_dir}/resized_features.parquet")
 
 
 def synthetic_media(spark, n: int = 24) -> DataFrame:

@@ -213,3 +213,45 @@ def test_real_media_includes_png(spark):
     mimes = {r.media_id: r.mime for r in media.select("media_id", "mime").collect()}
     assert mimes[0] == PPM_MIME and mimes[2] == BMP_MIME and mimes[4] == PNG_MIME
     assert decode_features(media, strict=True).count() == 16
+
+
+def test_resize_nearest_known_values():
+    """Integer-exact nearest-neighbor map: out[i,j] = src[(i*h)//H, (j*w)//W]."""
+    import numpy as np
+
+    from sema_spark.operators.multimodal import resize_nearest
+
+    src = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_nearest(src, 3, 2)
+    assert out.shape == (2, 3, 3)
+    # rows map to (0*4)//2=0, (1*4)//2=2; cols to 0, 2, 4
+    exp = src[[0, 2]][:, [0, 2, 4]]
+    assert np.array_equal(out, exp)
+    # identity resize is exact
+    assert np.array_equal(resize_nearest(src, 6, 4), src)
+    # upscale repeats pixels deterministically
+    up = resize_nearest(src[:1, :1], 3, 2)
+    assert np.array_equal(up, np.broadcast_to(src[0, 0], (2, 3, 3)))
+
+
+def test_resize_media_end_to_end(spark):
+    """decode → resize → re-encode(PPM) → decode must equal the codec-free
+    pattern → resize path for every input container (PPM/BMP/PNG)."""
+    import numpy as np
+
+    from sema_spark.operators.multimodal import (
+        _pattern_image,
+        decode_ppm,
+        resize_media,
+        resize_nearest,
+        synthetic_real_media,
+    )
+
+    out = resize_media(synthetic_real_media(spark, 16), 16, 12, strict=True)
+    rows = {r.media_id: r for r in out.collect()}
+    assert sorted(rows) == list(range(0, 16, 2))  # every image, no audio
+    for i, r in rows.items():
+        assert (r.width, r.height) == (16, 12) and r.mime == "image/x-portable-pixmap"
+        got = decode_ppm(bytes(r.bytes))
+        exp = resize_nearest(_pattern_image(i), 16, 12)
+        assert np.array_equal(got, exp), i
