@@ -106,6 +106,14 @@ def kmeans_fit(
     """Train the quantizer: returns ``(centroids ndarray, materialized
     (_id, _v) source)`` — the IVF index-build half, reused by
     :func:`kmeans` and the IVF ANN query."""
+    # No _spread here, on measurement: sf0.1's embeddings arrive as ONE
+    # split, but at 2k×64 the per-iteration work is microseconds of
+    # numpy — a repartition(32) made the index build ~30% SLOWER (32
+    # tasks of scheduling/Arrow overhead per pass vs one trivial task).
+    # A corpus big enough for parallelism to matter arrives pre-split
+    # by the scan (maxPartitionBytes), and the determinism contract
+    # (batch-invariant einsum, order-independent decimal sums) keeps
+    # results identical under ANY partitioning either way.
     src = materialize(df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
     init = src.orderBy("_id").limit(k).collect()
     cents = np.stack(
