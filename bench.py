@@ -167,6 +167,35 @@ def main() -> int:
     timings["ann_ivf_stored_query"] = round(best, 3)
     shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # Stored semantic index (entry point B): chunk+encode the corpus
+    # ONCE, then serve searches from the stored chunk-embedding table —
+    # the reference's actual serving design; the query pays only the
+    # query-string encoding.
+    from sema_spark.sources.ann_index import (
+        build_semantic_index,
+        semantic_search_stored,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").alias("content"),
+    )
+    sem_dir = tempfile.mkdtemp(prefix="sema_bench_sem_")
+    t0 = time.time()
+    build_semantic_index(docs, sem_dir)
+    timings["semantic_index_build"] = round(time.time() - t0, 3)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        _consume(
+            semantic_search_stored(spark, sem_dir, "spark shuffle join window batch", k=25)
+        )
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    timings["semantic_search_stored_query"] = round(best, 3)
+    shutil.rmtree(sem_dir, ignore_errors=True)
+
     # North-rule headline: triples/sec on the synthetic repo corpus.
     # Same job shape as tools/bench_scaling.py: file-split parallelism
     # (the corpus ships as ~125 files), no repartition shuffle; one

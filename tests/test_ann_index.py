@@ -141,3 +141,40 @@ def test_incremental_matches_python_oracle(spark, tmp_path):
         ids, vecs, q, half, k=7, n_clusters=3, iterations=3, probes=2
     )
     assert got == exp
+
+
+def test_semantic_index_build_append_query(spark, tmp_path):
+    """Stored chunk-embedding index: incremental build converges to the
+    one-shot table, re-append is a no-op, and the stored query equals
+    the in-plan semantic_search exactly."""
+    from sema_spark.operators.chunker import chunk_and_embed
+    from sema_spark.plans.pipeline import semantic_search
+    from sema_spark.sources.ann_index import (
+        build_semantic_index,
+        semantic_index_append,
+        semantic_index_ready,
+        semantic_search_stored,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("r1", f"f{i}.py", ("def spark_shuffle_join():\n    pass\n" * 8) + f"# doc {i}\n")
+            for i in range(12)
+        ],
+        "repo string, path string, content string",
+    )
+    idx = str(tmp_path / "sem")
+    assert not semantic_index_ready(idx)
+    build_semantic_index(docs.where(F.col("path").isin("f0.py", "f1.py", "f2.py")), idx)
+    assert semantic_index_ready(idx)
+    assert semantic_index_append(docs, idx) == 9  # only the new files
+    assert semantic_index_append(docs, idx) == 0  # idempotent
+
+    stored_chunks = spark.read.parquet(f"{idx}/chunks")
+    assert stored_chunks.count() == chunk_and_embed(docs).count()
+
+    q = "spark shuffle join"
+    got = semantic_search_stored(spark, idx, q, k=10).collect()
+    exp = semantic_search(spark, chunk_and_embed(docs), q, k=10).collect()
+    key = lambda r: (r.repo, r.path, r.start_line, r.score, r.matches_in_file)
+    assert sorted(map(key, got)) == sorted(map(key, exp)) and got
