@@ -188,10 +188,19 @@ def ivf_index_ready(index_dir: str) -> bool:
 
 def build_semantic_index(docs: DataFrame, index_dir: str) -> None:
     """Chunk + embed ``docs`` (repo, path, content) once and persist the
-    chunk-embedding table."""
+    chunk-embedding table, with each chunk's L2 norm PRECOMPUTED (the
+    identical ``l2_norm`` expression a query would run, so the stored
+    float64 is bit-equal to in-query recomputation — queries then pay
+    one interpreted aggregate per chunk instead of three)."""
+    from sema_spark.functions.vector import l2_norm
     from sema_spark.operators.chunker import chunk_and_embed
 
-    chunk_and_embed(docs).write.mode("overwrite").parquet(f"{index_dir}/chunks")
+    (
+        chunk_and_embed(docs)
+        .withColumn("emb_norm", l2_norm(F.col("embedding")))
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/chunks")
+    )
 
 
 def semantic_index_append(docs: DataFrame, index_dir: str) -> int:
@@ -200,6 +209,8 @@ def semantic_index_append(docs: DataFrame, index_dir: str) -> int:
     (J1 anti-join — re-submitting an already-indexed corpus appends
     nothing).  Returns the number of newly indexed FILES."""
     from sema_spark.operators.chunker import chunk_and_embed
+
+    from sema_spark.functions.vector import l2_norm
 
     spark = docs.sparkSession
     existing = (
@@ -210,7 +221,12 @@ def semantic_index_append(docs: DataFrame, index_dir: str) -> int:
     )
     n = fresh.count()
     if n:
-        chunk_and_embed(fresh).write.mode("append").parquet(f"{index_dir}/chunks")
+        (
+            chunk_and_embed(fresh)
+            .withColumn("emb_norm", l2_norm(F.col("embedding")))
+            .write.mode("append")
+            .parquet(f"{index_dir}/chunks")
+        )
     return n
 
 
@@ -222,7 +238,11 @@ def semantic_search_stored(spark: SparkSession, index_dir: str, query: str, k: i
     from sema_spark.plans.pipeline import semantic_search
 
     chunks = spark.read.parquet(f"{index_dir}/chunks")
-    return semantic_search(spark, chunks, query, k=k)
+    # indexes written before the emb_norm column existed still answer
+    # correctly through the three-aggregate path
+    norm_col = "emb_norm" if "emb_norm" in chunks.columns else None
+    out = semantic_search(spark, chunks, query, k=k, norm_col=norm_col)
+    return out.drop("emb_norm")
 
 
 def semantic_index_ready(index_dir: str) -> bool:
