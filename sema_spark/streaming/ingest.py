@@ -110,3 +110,37 @@ def windowed_event_counts(
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
+
+
+def run_semantic_index_stream(
+    spark: SparkSession,
+    src_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the STORED semantic index — the
+    reference's watcher loop (/root/reference/src/storage/mod.rs:30-52
+    watches the directory and updates its Lance index incrementally) as
+    Structured Streaming: every microbatch of newly-landed repo files
+    flows through ``semantic_index_append``, whose (repo, path)
+    anti-join makes replayed microbatches no-ops — the same two-level
+    exactly-once story as ``run_triples_stream_to_log`` (file-source
+    checkpoint dedupes input files, the anti-join dedupes work).  The
+    index must exist (``build_semantic_index``, possibly over an empty
+    frame) before the stream starts."""
+    from sema_spark.sources.ann_index import semantic_index_append
+
+    def handle(batch_df, batch_id: int) -> None:
+        semantic_index_append(
+            batch_df.select("repo", "path", "content"), index_dir
+        )
+
+    writer = (
+        stream_repo_source(spark, src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

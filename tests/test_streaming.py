@@ -258,3 +258,50 @@ def test_tws_sessionization_matches_v1_and_batch(spark, tmp_path):
     }
     assert finals["tws"] == expect
     assert finals["tws"][(1, 0)][0] == 3  # cross-batch continuity through TWS state
+
+
+def test_streaming_semantic_index_maintenance(spark, tmp_path):
+    """The stored semantic index maintained by the stream (reference's
+    watcher loop, mod.rs:30-52) converges to the one-shot batch build,
+    and draining the same source again appends nothing (file-source
+    checkpoint + anti-join exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from sema_spark.operators.chunker import chunk_and_embed
+    from sema_spark.sources.ann_index import build_semantic_index
+    from sema_spark.streaming.ingest import run_semantic_index_stream
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    write_corpus(spark, src, "xs")
+    batch = spark.read.parquet(src).select("repo", "path", "content")
+    # seed: an EMPTY index (schema only), everything arrives via stream
+    build_semantic_index(batch.limit(0), idx)
+
+    q = run_semantic_index_stream(spark, src, idx, ckpt)
+    q.awaitTermination(300)
+    stored = spark.read.parquet(f"{idx}/chunks")
+    n_expected = chunk_and_embed(batch).count()
+    assert stored.count() == n_expected
+    # files below the 50-char chunk minimum yield no chunks and so never
+    # enter the stored table — compare file coverage on chunk-producing
+    # files (they are re-offered and re-skipped harmlessly each drain)
+    assert (
+        stored.select("repo", "path").distinct().count()
+        == chunk_and_embed(batch).select("repo", "path").distinct().count()
+    )
+
+    # re-drain: nothing new → no duplicate chunks
+    q2 = run_semantic_index_stream(spark, src, idx, ckpt)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{idx}/chunks").count() == n_expected
+
+    # and the index answers: stored search equals in-plan over the batch
+    from sema_spark.plans.pipeline import semantic_search
+    from sema_spark.sources.ann_index import semantic_search_stored
+
+    got = semantic_search_stored(spark, idx, "def main", k=5).collect()
+    exp = semantic_search(spark, chunk_and_embed(batch), "def main", k=5).collect()
+    key = lambda r: (r.repo, r.path, r.start_line, round(r.score, 9), r.matches_in_file)
+    assert sorted(map(key, got)) == sorted(map(key, exp))
