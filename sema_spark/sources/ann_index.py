@@ -247,3 +247,54 @@ def semantic_search_stored(spark: SparkSession, index_dir: str, query: str, k: i
 
 def semantic_index_ready(index_dir: str) -> bool:
     return os.path.exists(f"{index_dir}/chunks/_SUCCESS")
+
+
+# ---------------------------------------------------------- maintenance
+def _compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    partition_by: str | None = None,
+    files_per_partition: int = 1,
+) -> None:
+    """Rewrite a stored-index table into few large files (the Lance
+    ``optimize``/compaction analog — every append above leaves one file
+    set per batch, and a long-lived incrementally-maintained index
+    degrades into a small-files problem without this).
+
+    Single-writer maintenance op, crash-safe for READERS-after-crash on
+    a rename-capable filesystem: the rewrite lands in a sibling temp
+    dir, then two renames swap it in; a crash before the first rename
+    leaves the live table untouched, between renames there is a gap a
+    retry fixes (rerun compact — the ``.old`` dir still holds the
+    data).  On an object store without atomic rename, use the
+    checkpoint log's append-then-GC compaction instead
+    (sources/checkpoint.compact)."""
+    import shutil
+
+    df = spark.read.parquet(table_dir)
+    tmp = f"{table_dir}.compact-tmp-{os.getpid()}"
+    # hash-cluster rows so each partition value lands in one task → one
+    # output file per partition dir; unpartitioned tables coalesce flat
+    writer = (
+        df.coalesce(files_per_partition)
+        if partition_by is None
+        else df.repartition(partition_by)
+    )
+    w = writer.write.mode("overwrite")
+    if partition_by is not None:
+        w = w.partitionBy(partition_by)
+    w.parquet(tmp)
+    old = f"{table_dir}.old-{os.getpid()}"
+    os.rename(table_dir, old)
+    os.rename(tmp, table_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def compact_ivf_index(spark: SparkSession, index_dir: str) -> None:
+    """Compact the vector table to one file per cluster partition."""
+    _compact_table(spark, f"{index_dir}/vectors", partition_by="cluster")
+
+
+def compact_semantic_index(spark: SparkSession, index_dir: str) -> None:
+    """Compact the chunk table into a single file set."""
+    _compact_table(spark, f"{index_dir}/chunks")

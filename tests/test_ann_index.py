@@ -178,3 +178,47 @@ def test_semantic_index_build_append_query(spark, tmp_path):
     exp = semantic_search(spark, chunk_and_embed(docs), q, k=10).collect()
     key = lambda r: (r.repo, r.path, r.start_line, r.score, r.matches_in_file)
     assert sorted(map(key, got)) == sorted(map(key, exp)) and got
+
+
+def test_compaction_preserves_answers(spark, tmp_path):
+    """Repeated appends fragment the stored tables; compaction rewrites
+    them into few files and must change NOTHING about query answers."""
+    import glob
+
+    from sema_spark.sources.ann_index import (
+        compact_ivf_index,
+        compact_semantic_index,
+        build_semantic_index,
+        semantic_index_append,
+        semantic_search_stored,
+    )
+
+    ids, vecs = _blob_data(n=60, dim=6, seed=7)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(_df(spark, ids[:20], vecs[:20]), idx, n_clusters=3, iterations=3)
+    ivf_index_append(_df(spark, ids[:40], vecs[:40]), idx)
+    ivf_index_append(_df(spark, ids, vecs), idx)
+    q = [float(x) for x in vecs[0]]
+    before = [(r.vec_id, r.score) for r in ivf_stored_topk(spark, idx, q, k=5, probes=2).collect()]
+    n_files_before = len(glob.glob(f"{idx}/vectors/cluster=*/*.parquet"))
+    compact_ivf_index(spark, idx)
+    n_files_after = len(glob.glob(f"{idx}/vectors/cluster=*/*.parquet"))
+    after = [(r.vec_id, r.score) for r in ivf_stored_topk(spark, idx, q, k=5, probes=2).collect()]
+    assert after == before and before
+    assert n_files_after < n_files_before
+    assert spark.read.parquet(f"{idx}/vectors").count() == 60
+
+    docs = spark.createDataFrame(
+        [("r", f"f{i}.py", "def spark_query_plan():\n    pass\n" * 10) for i in range(9)],
+        "repo string, path string, content string",
+    )
+    sidx = str(tmp_path / "sem")
+    build_semantic_index(docs.limit(3), sidx)
+    semantic_index_append(docs.limit(6), sidx)
+    semantic_index_append(docs, sidx)
+    sq = "spark query plan"
+    sbefore = [(r.path, r.start_line, r.score) for r in semantic_search_stored(spark, sidx, sq, k=5).collect()]
+    compact_semantic_index(spark, sidx)
+    safter = [(r.path, r.start_line, r.score) for r in semantic_search_stored(spark, sidx, sq, k=5).collect()]
+    assert safter == sbefore and sbefore
+    assert len(glob.glob(f"{sidx}/chunks/*.parquet")) == 1
