@@ -1153,6 +1153,46 @@ def q_semantic_search_stored(spark, sf):
     )
 
 
+def q_semantic_search_ann(spark, sf):
+    """Entry point B over the IVF-PARTITIONED chunk index (the shape of
+    the reference's Lance IVF search, lance_indexer.rs:107-163): chunk
+    embeddings quantized by the deterministic k-means coarse quantizer,
+    the chunk table stored partitionBy(cluster), probes chosen driver-
+    side against the collected centroids, and ONLY the probed cells'
+    chunk files scanned.  Graded with probes == n_clusters — every cell
+    read — which makes the result equal the exact entry point
+    bit-for-bit, so the quantize/partition/prune plumbing grades
+    against the SAME full-SQL oracle; the probes < cells recall dial is
+    test-gated (tests/test_ann_index.py)."""
+    from sema_spark.sources.ann_index import (
+        build_semantic_ann_index,
+        semantic_ann_ready,
+        semantic_search_ann,
+    )
+
+    docs = _docs(spark, sf).select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("text").alias("content"),
+    )
+    import hashlib
+
+    p = f"{sf}/documents.parquet"
+    st = _os.stat(p)
+    sig = hashlib.sha1(
+        f"{_os.path.realpath(p)}|{st.st_mtime_ns}|{st.st_size}|semann_v1".encode()
+    ).hexdigest()[:16]
+    idx = f"/tmp/sema_semantic_ann/{sig}"
+    if not semantic_ann_ready(idx):
+        build_semantic_ann_index(docs, idx, n_clusters=8, iterations=3)
+    out = semantic_search_ann(
+        spark, idx, "spark shuffle join window batch", k=25, probes=8
+    )
+    return out.select(
+        "path", "start_line", F.round("score", 4).alias("score"), "matches_in_file"
+    )
+
+
 def q_multimodal_features(spark, sf):
     """Multimodal plumbing: binary media → feature vectors (stub decode)."""
     from sema_spark.operators.multimodal import decode_features, synthetic_media
@@ -1393,7 +1433,7 @@ def _build_registry():
     #   3. tools/check_oracles.py still value-checks ALL entries every
     #      round as the secondary signal.
     # Round 5: IN (rotated back) = the 17 entries past the r4 window;
-    # OUT (all r4-green, return in r6) = a4_query_parser, f_filters, a1_window_dedup,
+    # OUT (all r4-green, return in r6) = a4_bm25_search, a4_query_parser, f_filters, a1_window_dedup,
     # j1_anti_join, j3_broadcast_join, decontaminate, dedup_passages,
     # redact_pii, stratified_sample, sequence_packing,
     # weighted_interleave, triangle_count, kg_label_propagation,
@@ -1451,11 +1491,12 @@ def _build_registry():
         "curation_pipeline": q_curation_pipeline,
         "semantic_search": q_semantic_search,
         "semantic_search_stored": q_semantic_search_stored,  # NEW r5
+        "semantic_search_ann": q_semantic_search_ann,  # NEW r5
         "term_mentions": q_term_mentions,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
-        "a4_bm25_search": q_a4_bm25_search,
         # ---------------- position 50 boundary -----------------------
+        "a4_bm25_search": q_a4_bm25_search,
         "a4_query_parser": q_a4_query_parser,
         "f_filters": q_f_filters,
         # ALL of the below were driver-graded GREEN in round 4
@@ -2601,6 +2642,8 @@ def oracle_sql() -> dict[str, str]:
     # the stored semantic index returns results IDENTICAL to the in-plan
     # entry point, so it shares the full-SQL oracle verbatim
     out["semantic_search_stored"] = out["semantic_search"]
+    # all-probe IVF reads every cell → also identical to the exact path
+    out["semantic_search_ann"] = out["semantic_search"]
     if not kmeans_family_ok:
         # sf0.01 testdata absent/unreadable: degrade only the kmeans
         # family to the rows-only check instead of failing every oracle

@@ -222,3 +222,49 @@ def test_compaction_preserves_answers(spark, tmp_path):
     safter = [(r.path, r.start_line, r.score) for r in semantic_search_stored(spark, sidx, sq, k=5).collect()]
     assert safter == sbefore and sbefore
     assert len(glob.glob(f"{sidx}/chunks/*.parquet")) == 1
+
+
+def test_semantic_ann_allprobe_equals_exact_and_prunes(spark, tmp_path):
+    """probes == n_clusters equals the exact entry point; probes == 1
+    still finds a planted near-duplicate (its cell must contain it) and
+    the candidate scan is partition-pruned."""
+    from sema_spark.operators.chunker import chunk_and_embed
+    from sema_spark.plans.pipeline import semantic_search
+    from sema_spark.sources.ann_index import (
+        build_semantic_ann_index,
+        semantic_search_ann,
+    )
+
+    # three well-separated text families → well-separated embedding cells
+    fams = [
+        "def spark_shuffle_join_window():\n    return shuffle\n",
+        "SELECT revenue, discount FROM lineitem WHERE tax > 0;\n",
+        "image audio video frame codec pixel sample rate\n",
+    ]
+    docs = spark.createDataFrame(
+        [(f"r{j}", f"f{j}_{i}.txt", fams[j] * (8 + i)) for j in range(3) for i in range(6)],
+        "repo string, path string, content string",
+    )
+    idx = str(tmp_path / "semann")
+    build_semantic_ann_index(docs, idx, n_clusters=3, iterations=3)
+
+    q = "spark shuffle join window"
+    exact = semantic_search(spark, chunk_and_embed(docs), q, k=8).collect()
+    allp = semantic_search_ann(spark, idx, q, k=8, probes=3).collect()
+    key = lambda r: (r.repo, r.path, r.start_line, r.score, r.matches_in_file)
+    assert sorted(map(key, allp)) == sorted(map(key, exact)) and exact
+
+    one = semantic_search_ann(spark, idx, q, k=8, probes=1).collect()
+    assert one and one[0].repo == "r0"  # the query's family is found
+    # every 1-probe hit is a genuine exact hit too (subset property on
+    # this separated corpus)
+    assert {(r.repo, r.path) for r in one} <= {(r.repo, r.path) for r in exact}
+
+    plan = (
+        semantic_search_ann(spark, idx, q, k=8, probes=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "cluster" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
