@@ -109,10 +109,14 @@ def ivf_index_append(
     spark = df.sparkSession
     cents = load_centroids(spark, index_dir)
     existing = spark.read.parquet(f"{index_dir}/vectors").select("vec_id")
-    fresh = (
+    from sema_spark.plans.materialize import materialize
+
+    # cut so the count and the write share one anti-join execution;
+    # materialize() keeps the cut mode a deployment decision (persist /
+    # reliable on a cluster) instead of hardcoding localCheckpoint
+    fresh = materialize(
         df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
         .join(existing, "vec_id", "left_anti")
-        .localCheckpoint(eager=True)  # count + write without re-running the anti-join
     )
     n = fresh.count()
     if n:
@@ -216,9 +220,9 @@ def semantic_index_append(docs: DataFrame, index_dir: str) -> int:
     existing = (
         spark.read.parquet(f"{index_dir}/chunks").select("repo", "path").distinct()
     )
-    fresh = docs.join(existing, ["repo", "path"], "left_anti").localCheckpoint(
-        eager=True
-    )
+    from sema_spark.plans.materialize import materialize
+
+    fresh = materialize(docs.join(existing, ["repo", "path"], "left_anti"))
     n = fresh.count()
     if n:
         (
