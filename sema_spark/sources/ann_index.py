@@ -51,7 +51,29 @@ from pyspark.sql import functions as F
 
 from sema_spark.operators.clustering import _assign_udf, kmeans_fit
 
-_META_COLS = "cluster int, centroid array<double>"
+def _write_centroids(index_dir: str, cents: np.ndarray) -> None:
+    """The centroid table is k×dim DRIVER data — write it with pyarrow
+    instead of a Spark job (createDataFrame → coalesce(1) → write cost
+    a full job + JVM round trip for a kilobyte of floats).  The dir is
+    cleared first so a rebuild can never mix part files, and _SUCCESS
+    is written last (the same commit-marker contract ivf_index_ready
+    checks)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = f"{index_dir}/centroids"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    t = pa.table(
+        {
+            "cluster": list(range(len(cents))),
+            "centroid": [[float(x) for x in c] for c in cents],
+        }
+    )
+    pq.write_table(t, f"{d}/part-00000.parquet")
+    open(f"{d}/_SUCCESS", "w").close()
 
 
 def build_ivf_index(
@@ -68,15 +90,8 @@ def build_ivf_index(
     stored column names are canonicalized to ``(vec_id, embedding,
     cluster)`` so readers need no schema hints.
     """
-    spark = df.sparkSession
     cents, src = kmeans_fit(df, n_clusters, iterations, id_col, vec_col)
-    cent_rows = [(int(j), [float(x) for x in cents[j]]) for j in range(len(cents))]
-    (
-        spark.createDataFrame(cent_rows, _META_COLS)
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/centroids")
-    )
+    _write_centroids(index_dir, cents)
     (
         src.select(
             F.col("_id").alias("vec_id"),
@@ -281,20 +296,13 @@ def build_semantic_ann_index(
     from sema_spark.operators.clustering import kmeans_fit
     from sema_spark.plans.materialize import materialize
 
-    spark = docs.sparkSession
     chunks = materialize(
         chunk_and_embed(docs)
         .withColumn("emb_norm", l2_norm(F.col("embedding")))
         .withColumn("_cid", F.xxhash64("repo", "path", "chunk_idx"))
     )
     cents, _ = kmeans_fit(chunks, n_clusters, iterations, "_cid", "embedding")
-    cent_rows = [(int(j), [float(x) for x in cents[j]]) for j in range(len(cents))]
-    (
-        spark.createDataFrame(cent_rows, _META_COLS)
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/centroids")
-    )
+    _write_centroids(index_dir, cents)
     (
         chunks.withColumn(
             "cluster", _assign_udf(cents)(F.col("embedding")).cast("int")
