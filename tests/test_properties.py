@@ -68,3 +68,72 @@ class TestConnectedComponentsProperties:
             assert seen[c] == c  # representative maps to itself
         assert seen["a"] == seen["c"] == seen["f"]  # transitive chain a-b-c, f-f2-a
         assert seen["d"] == seen["e"] != seen["a"]
+
+
+class TestCodecProperties:
+    """Pure-python codecs: encode→decode is the identity for every
+    geometry and content (no Spark involved — these run fast enough
+    for hypothesis)."""
+
+    @given(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=1, max_value=23),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_image_codecs_round_trip(self, w, h, seed):
+        import numpy as np
+
+        from sema_spark.operators.multimodal import (
+            decode_bmp,
+            decode_png,
+            decode_ppm,
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+        # h >= 5 exercises all five PNG scanline filters; smaller h
+        # exercises a prefix of them — both must reconstruct
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+    @given(
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=1, max_value=30),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_resize_matches_index_map(self, w, h, ow, oh, seed):
+        import numpy as np
+
+        from sema_spark.operators.multimodal import resize_nearest
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = resize_nearest(px, ow, oh)
+        assert out.shape == (oh, ow, 3)
+        for i in (0, oh - 1):
+            for j in (0, ow - 1):
+                assert (out[i, j] == px[(i * h) // oh, (j * w) // ow]).all()
+
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=400
+        ),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_wav_round_trip(self, samples, rate):
+        import numpy as np
+
+        from sema_spark.operators.multimodal import decode_wav, encode_wav_pcm16
+
+        arr = np.array(samples, dtype=np.int16)
+        got_rate, got = decode_wav(encode_wav_pcm16(arr, rate))
+        assert got_rate == rate and np.array_equal(got, arr)
