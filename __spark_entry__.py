@@ -1264,6 +1264,19 @@ def q_decontaminate(spark, sf):
     return decontaminate(train, bench, n=3)
 
 
+def q_duplicated_spans(spark, sf):
+    """Exact-substring duplicated-span detection (Lee et al. 2022 — the
+    strongest training-data dedup tier): every 10-word window at every
+    position is hashed (128-bit sha prefix), a window occurring twice
+    anywhere marks its span, and overlapping/adjacent spans merge into
+    maximal per-document regions.  Oracle replays the whole thing in
+    SQL — per-position grams via array slices, the same sha prefix,
+    and the identical running-max interval merge."""
+    from sema_spark.operators.curation import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf), w=10)
+
+
 def q_dedup_passages(spark, sf):
     """CCNet-style corpus-wide passage dedup: 10-word passages, global
     first occurrence (by doc_id, pos) survives, text reassembled.  The
@@ -1454,6 +1467,7 @@ def _build_registry():
         "repetition_signals": q_repetition_signals,  # single-scan fusion r5
         "curation_v2": q_curation_v2,  # contains repetition stage
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # fallback tier reworked r5
+        "duplicated_spans": q_duplicated_spans,  # NEW r5
         "multimodal_real_decode": q_multimodal_real_decode,  # + PNG codec r5
         "multimodal_resize": q_multimodal_resize,  # NEW r5
         "multimodal_features": q_multimodal_features,  # shares media corpus
@@ -1492,7 +1506,6 @@ def _build_registry():
         "kg_kcore": q_kg_kcore,
         "kg_pagerank": q_kg_pagerank,
         "j4_connected_components": q_j4_connected_components,
-        "curation_pipeline": q_curation_pipeline,
         "semantic_search": q_semantic_search,
         "semantic_search_stored": q_semantic_search_stored,  # NEW r5
         "semantic_search_ann": q_semantic_search_ann,  # NEW r5
@@ -1506,6 +1519,7 @@ def _build_registry():
         "sequence_packing": q_sequence_packing,
         "weighted_interleave": q_weighted_interleave,
         # ---------------- position 50 boundary -----------------------
+        "curation_pipeline": q_curation_pipeline,
         "a4_bm25_search": q_a4_bm25_search,
         "a4_query_parser": q_a4_query_parser,
         "f_filters": q_f_filters,
@@ -2415,6 +2429,32 @@ def oracle_sql() -> dict[str, str]:
             select t.doc_id, (c.doc_id is not null) as contaminated
             from (select doc_id from documents where doc_id % 97 <> 0) t
             left join cont c on t.doc_id = c.doc_id
+        """,
+        "duplicated_spans": r"""
+            with doc as (
+              select doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) as nt
+              from documents where text is not null),
+            words as (select doc_id, regexp_split_to_array(nt, ' ') as ws from doc),
+            occ as (
+              select doc_id, i - 1 as pos,
+                     substr(sha256(array_to_string(ws[i:i+9], ' ')), 1, 32) as h
+              from words, range(1, 4096) r(i)  -- docs cap at ~100 words; filter below
+              where i <= len(ws) - 10 + 1),
+            dup as (select h from occ group by h having count(*) >= 2),
+            spans as (select o.doc_id, o.pos as s, o.pos + 10 as e
+                      from occ o join dup using (h)),
+            m as (select doc_id, s, e,
+                         max(e) over (partition by doc_id order by s
+                                      rows between unbounded preceding and 1 preceding) as pmax
+                  from spans),
+            g as (select doc_id, s, e,
+                         sum(case when pmax is null or s > pmax then 1 else 0 end)
+                           over (partition by doc_id order by s
+                                 rows between unbounded preceding and current row) as grp
+                  from m)
+            select doc_id, min(s) as span_start, max(e) as span_end,
+                   max(e) - min(s) as span_words
+            from g group by doc_id, grp
         """,
         "dedup_passages": r"""
             with toks as (select doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') w

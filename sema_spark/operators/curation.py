@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "decontaminate",
     "dedup_passages",
+    "duplicated_spans",
     "repetition_signals",
     "redact_pii",
     "stratified_sample",
@@ -232,6 +233,86 @@ def dedup_passages(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
             "n_passages",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    *,
+    w: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-SUBSTRING duplicated-span detection — the strongest tier of
+    training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": remove any substring repeated
+    verbatim anywhere in the corpus).  Their suffix-array formulation
+    is replaced by the shuffle-friendly equivalent at word granularity:
+    every ``w``-word window at EVERY word position is hashed; a window
+    whose hash occurs ≥ 2 times anywhere (cross-document OR repeated
+    within one document) marks its span duplicated, and overlapping or
+    adjacent duplicated spans merge per document — so a repeated run of
+    any length ≥ w is reported as one maximal span, exactly what the
+    suffix-array method finds for threshold ``w``.
+
+    Returns ``(id_col, span_start, span_end, span_words)`` — word-index
+    spans ``[span_start, span_end)``, one row per maximal duplicated
+    span, deterministic.
+
+    Scale: the gram STRING never shuffles — occurrences travel as
+    ``(sha256-128bit, id, pos)`` (collision-safe at 10^12 windows, the
+    dedup_passages argument); one count shuffle keyed by hash, one
+    hash-keyed semi join back, one id-keyed window pass for the
+    interval merge.  No N², no Python, and the window explode is one
+    compiled-regex pass (_word_ngrams).
+    """
+    normed = _norm(F.col(text_col))
+    occ = (
+        _spread(docs.select(id_col, text_col))
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(_word_ngrams_of_norm(normed, w)).alias("_pos", "_gram"),
+        )
+        .select(
+            "_id",
+            "_pos",
+            F.substring(F.sha2(F.col("_gram"), 256), 1, 32).alias("_h"),
+        )
+    )
+    dup = (
+        occ.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .where(F.col("_c") >= 2)
+        .select("_h")
+    )
+    spans = occ.join(dup, "_h", "left_semi").select(
+        "_id", F.col("_pos").alias("_s"), (F.col("_pos") + w).alias("_e")
+    )
+    # classic interval merge: a span starts a new group iff it begins
+    # past the running max end of everything before it
+    prev = (
+        Window.partitionBy("_id").orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        Window.partitionBy("_id").orderBy("_s").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spans.withColumn("_pmax", F.max("_e").over(prev))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_pmax").isNull() | (F.col("_s") > F.col("_pmax")), 1
+            ).otherwise(0),
+        )
+        .withColumn("_g", F.sum("_new").over(cum))
+        .groupBy("_id", "_g")
+        .agg(F.min("_s").alias("_ss"), F.max("_e").alias("_se"))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_ss").cast("bigint").alias("span_start"),
+            F.col("_se").cast("bigint").alias("span_end"),
+            (F.col("_se") - F.col("_ss")).cast("bigint").alias("span_words"),
         )
     )
 

@@ -357,3 +357,63 @@ def test_whitespace_edges_normalized(spark):
     assert dp[3] == (1, "")  # whitespace-only: one empty passage
     pk = {r.doc_id: r.n_tokens for r in pack_sequences(docs, capacity=8, n_shards=2).collect()}
     assert pk[1] == 5 and pk[2] == 5 and pk[3] == 0 and pk[4] == 0
+
+
+def test_duplicated_spans_matches_bruteforce(spark):
+    """Exact-substring span detection vs a direct python reimplementation
+    (hash-free: dict of gram-string occurrences + interval merge)."""
+    import re
+
+    from sema_spark.operators.curation import duplicated_spans
+
+    texts = {
+        1: "a b c d e f g h i j k l",            # [0,10) shared with 2
+        2: "x y a b c d e f g h i j",            # [2,12)
+        3: "u v w p q r s t zz yy xx ww",        # unique
+        4: "m " * 20,                            # self-repeat, merges to one span
+        5: "",                                   # empty
+        6: None,                                 # null
+        7: "a b c d e f g h i j k l",            # full dup of 1 → [0,12)? windows [0,10),[1,11),[2,12) dup → merged [0,12)
+    }
+    w = 10
+
+    def brute(texts, w):
+        words = {
+            i: re.sub(r"\s+", " ", t).strip().split(" ")
+            for i, t in texts.items()
+            if t is not None
+        }
+        occ = {}
+        for i, ws in words.items():
+            for p in range(len(ws) - w + 1):
+                occ.setdefault(" ".join(ws[p : p + w]), []).append((i, p))
+        spans = {}
+        for g, hits in occ.items():
+            if len(hits) >= 2:
+                for i, p in hits:
+                    spans.setdefault(i, []).append((p, p + w))
+        out = []
+        for i, ivs in spans.items():
+            ivs.sort()
+            cur_s, cur_e = ivs[0]
+            for s, e in ivs[1:]:
+                if s > cur_e:
+                    out.append((i, cur_s, cur_e, cur_e - cur_s))
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            out.append((i, cur_s, cur_e, cur_e - cur_s))
+        return sorted(out)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_words)
+        for r in duplicated_spans(docs, w=w).collect()
+    )
+    exp = brute(texts, w)
+    assert got == exp
+    assert {i for i, *_ in got} == {1, 2, 4, 7}
+    # doc 7 duplicates doc 1 entirely: all three windows merge to [0,12)
+    assert (7, 0, 12, 12) in got
