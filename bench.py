@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "redact_pii",
     "weighted_interleave",
     "kg_label_propagation",
+    # round 5
+    "duplicated_spans",
 ]
 
 # Standalone pinned throughput from tools/bench_scaling.py (best-of-4,
