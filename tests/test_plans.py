@@ -184,3 +184,33 @@ def test_word_ngrams_are_compiled_regex(spark):
     plan = _plan(decontaminate(docs, docs, n=3))
     assert "regexp_extract_all" in plan
     assert "slice(" not in plan
+
+
+def test_duplicated_spans_plan_shape(spark):
+    """Exact-substring span detection: the dup set arrives via a semi
+    join (never a cartesian), aggregations are map-side partial, and the
+    two interval-merge windows + the final group share ONE id-keyed
+    exchange (same sort order → Catalyst reuses the partitioning)."""
+    from sema_spark.operators.curation import duplicated_spans
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    plan = _plan(duplicated_spans(docs, w=2))
+    assert "LeftSemi" in plan
+    assert "partial_min" in plan and "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(_id") == 1
+
+
+def test_knn_join_broadcasts_queries_not_candidates(spark):
+    """The batch kNN join must broadcast the QUERY side — candidates
+    never shuffle (no candidate-side Exchange below the join)."""
+    from sema_spark.operators.similarity import knn_join
+
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "q_id long, q_vec array<float>")
+    c = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], "vec_id long, embedding array<float>"
+    )
+    plan = _plan(knn_join(q, c, k=2))
+    assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
+    # the only exchange is the per-query window's rank partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
