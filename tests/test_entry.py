@@ -31,3 +31,26 @@ def test_each_query_runs_sf0001(spark, name):
     # empty results are only acceptable for selective filters; all current
     # queries are designed to return rows at sf0.001
     assert n > 0, name
+
+
+def test_every_oracle_binds_in_duckdb():
+    """EXPLAIN each oracle against the sf0.001 views: catches SQL typos,
+    missing expected-parquet files, and schema-binding breaks in
+    seconds, without the full value comparison (tools/check_oracles)."""
+    import duckdb
+
+    oracles = E.oracle_sql()  # also (re)writes the expected parquet sets
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"create view {t} as select * from "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    for name, sql in oracles.items():
+        try:
+            con.execute("explain " + sql)
+        except Exception as e:  # pragma: no cover - failure detail
+            raise AssertionError(f"oracle {name} failed to bind: {e}") from e
