@@ -47,16 +47,39 @@ def knn_join(
     q_vec: str = "q_vec",
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    num_salts: int = 32,
 ) -> DataFrame:
-    """Per-query exact top-k: broadcast the small query side, window rank.
+    """Per-query exact top-k: broadcast the small query side, then a
+    SALTED two-phase rank so no single reducer ever sees a query's full
+    candidate set.
 
-    At 10^2-10^4 queries × huge candidate table this is the right plan:
-    one pass over candidates, no candidate shuffle at all.
+    Phase 1 ranks within (q_id, salt) — the exchange key has Q×S
+    cardinality, so the N×Q scored rows spread across Q×S tasks and
+    each keeps ≤ k survivors.  Phase 2 re-ranks the ≤ Q×S×k survivors
+    per q_id (a few KB per query regardless of N).  Equivalent to one
+    global row_number per query: every global top-k row is also top-k
+    within its salt group, and the (score desc, c_id) order is total,
+    so phase 2 reproduces the exact global ranks.
+
+    At 10^2-10^4 queries × a 100 TB candidate table this is the right
+    plan: one pass over candidates, no candidate-side shuffle below the
+    join, and the only full-width exchange is bounded by k per group.
     """
     j = candidates.crossJoin(F.broadcast(queries.select(q_id, q_vec)))
-    scored = j.select(q_id, c_id, F.round(cosine(F.col(c_vec), F.col(q_vec)), 6).alias("score"))
-    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    scored = j.select(
+        q_id,
+        c_id,
+        F.round(cosine(F.col(c_vec), F.col(q_vec)), 6).alias("score"),
+        F.pmod(F.xxhash64(F.col(c_id)), F.lit(int(num_salts))).alias("_salt"),
+    )
+    w_local = Window.partitionBy(q_id, "_salt").orderBy(F.desc("score"), F.col(c_id))
+    survivors = (
+        scored.withColumn("_lrank", F.row_number().over(w_local))
+        .filter(F.col("_lrank") <= k)
+        .drop("_lrank", "_salt")
+    )
+    w_global = Window.partitionBy(q_id).orderBy(F.desc("score"), F.col(c_id))
+    return survivors.withColumn("rank", F.row_number().over(w_global)).filter(F.col("rank") <= k)
 
 
 def build_lsh_index(

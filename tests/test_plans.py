@@ -203,7 +203,10 @@ def test_duplicated_spans_plan_shape(spark):
 
 def test_knn_join_broadcasts_queries_not_candidates(spark):
     """The batch kNN join must broadcast the QUERY side — candidates
-    never shuffle (no candidate-side Exchange below the join)."""
+    never shuffle below the join — and its rank must be the salted
+    TWO-PHASE shape: the first (full-width) exchange is keyed on
+    (q_id, _salt) so no reducer sees a query's whole candidate set;
+    only the ≤ Q×S×k survivors are exchanged on q_id alone."""
     from sema_spark.operators.similarity import knn_join
 
     q = spark.createDataFrame([(0, [1.0, 0.0])], "q_id long, q_vec array<float>")
@@ -212,5 +215,14 @@ def test_knn_join_broadcasts_queries_not_candidates(spark):
     )
     plan = _plan(knn_join(q, c, k=2))
     assert "BroadcastNestedLoopJoin" in plan and "BuildRight" in plan
-    # the only exchange is the per-query window's rank partitioning
-    assert plan.count("Exchange hashpartitioning") == 1
+    # exactly two exchanges: (q_id, _salt) below, q_id-only above
+    assert plan.count("Exchange hashpartitioning") == 2
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    salted = [ln for ln in exchanges if "_salt" in ln]
+    global_only = [ln for ln in exchanges if "_salt" not in ln]
+    assert len(salted) == 1 and len(global_only) == 1
+    # the q_id-only exchange must sit ABOVE the local-rank filter, i.e.
+    # its input is the rank<=k survivor set, not the raw scored rows:
+    # in the printed tree the global exchange appears before (above)
+    # the salted one.
+    assert plan.index(global_only[0]) < plan.index(salted[0])
