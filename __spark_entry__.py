@@ -978,7 +978,7 @@ def _ivf_index_dir(sf: str) -> str:
     path = f"{sf}/embeddings.parquet"
     st = _os.stat(path)
     sig = hashlib.sha1(
-        f"{_os.path.realpath(path)}|{st.st_mtime_ns}|{st.st_size}|k8_i3".encode()
+        f"{_os.path.realpath(path)}|{st.st_mtime_ns}|{st.st_size}|k8_i3_v2".encode()
     ).hexdigest()[:16]
     return f"/tmp/sema_ivf_index/{sig}"
 
@@ -1112,7 +1112,7 @@ def _semantic_index_dir(sf: str) -> str:
     path = f"{sf}/documents.parquet"
     st = _os.stat(path)
     sig = hashlib.sha1(
-        f"{_os.path.realpath(path)}|{st.st_mtime_ns}|{st.st_size}|chunks_v2".encode()
+        f"{_os.path.realpath(path)}|{st.st_mtime_ns}|{st.st_size}|chunks_v3".encode()
     ).hexdigest()[:16]
     return f"/tmp/sema_semantic_index/{sig}"
 

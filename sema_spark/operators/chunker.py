@@ -74,15 +74,29 @@ _CHUNK_SCHEMA = (
 )
 
 
-def chunk_files(df: DataFrame) -> DataFrame:
-    """(repo, path, …, content) → CHUNKS rows (1 file → N chunks)."""
+def chunk_files(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(repo, path, …, content) → CHUNKS rows (1 file → N chunks).
+
+    ``carry``: extra per-FILE columns replicated onto every chunk of
+    that file (the carry-column pattern — e.g. the stored semantic
+    index threads ``content_sha`` through so no post-chunk join is
+    needed to attach file-level metadata)."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    base = _parse_datatype_string(_CHUNK_SCHEMA)
+    schema = StructType(list(base.fields) + [df.schema[c] for c in carry])
 
     def run(batches):
         import pandas as pd
 
+        base_keys = ("id", "repo", "path", "chunk_idx", "start_line", "end_line", "content")
         for pdf in batches:
-            rows = {k: [] for k in ("id", "repo", "path", "chunk_idx", "start_line", "end_line", "content")}
-            for repo, path, content in zip(pdf["repo"], pdf["path"], pdf["content"]):
+            rows = {k: [] for k in base_keys}
+            for c in carry:
+                rows[c] = []
+            for i, (repo, path, content) in enumerate(
+                zip(pdf["repo"], pdf["path"], pdf["content"])
+            ):
                 if content is None:
                     continue
                 for idx, sl, el, text in chunk_python(content):
@@ -93,14 +107,16 @@ def chunk_files(df: DataFrame) -> DataFrame:
                     rows["start_line"].append(sl)
                     rows["end_line"].append(el)
                     rows["content"].append(text)
+                    for c in carry:
+                        rows[c].append(pdf[c].iloc[i])
             yield pd.DataFrame(rows)
 
-    return df.select("repo", "path", "content").mapInPandas(run, schema=_CHUNK_SCHEMA)
+    return df.select("repo", "path", "content", *carry).mapInPandas(run, schema=schema)
 
 
-def chunk_and_embed(df: DataFrame) -> DataFrame:
+def chunk_and_embed(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Chunk then encode — the reference's index path (chunk → 384-dim
     vector per chunk, /root/reference/src/storage/lance_indexer.rs:30-105)."""
     from sema_spark.functions.encoder import with_embedding
 
-    return with_embedding(chunk_files(df), text_col="content")
+    return with_embedding(chunk_files(df, carry=carry), text_col="content")

@@ -43,6 +43,7 @@ orthogonal to the pruning contract tested here.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import numpy as np
@@ -50,6 +51,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sema_spark.operators.clustering import _assign_udf, kmeans_fit
+
+# Deleted-file liveness sentinel: a filestate entry at this gen kills
+# every chunk generation of its (repo, path).
+_GEN_DELETED = -1
+
+
+@contextlib.contextmanager
+def _maintenance_lock(index_dir: str, wait: bool):
+    """Mutual exclusion between index WRITERS (append / compact) on one
+    host: flock on ``{index_dir}/.lock`` — cross-process, so a
+    foreachBatch streaming maintainer and an operator-run compaction
+    cannot interleave (the r5 race: an append landing between compact's
+    read and its rename-swap was silently discarded).  Appends WAIT
+    (compactions are short); compactions raise if any writer is active
+    so an operator never blocks behind a long append — retry, or stop
+    the stream first.  On an object store without flock semantics use
+    the checkpoint log's append-then-GC compaction instead
+    (sources/checkpoint.compact)."""
+    import fcntl
+
+    os.makedirs(index_dir, exist_ok=True)
+    fd = os.open(f"{index_dir}/.lock", os.O_CREAT | os.O_RDWR)
+    try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | (0 if wait else fcntl.LOCK_NB))
+        except BlockingIOError:
+            raise RuntimeError(
+                f"another writer holds {index_dir}/.lock — stop streaming "
+                "maintenance / in-flight appends before compacting"
+            ) from None
+        yield
+    finally:
+        os.close(fd)  # releases the flock
+
 
 def _write_centroids(index_dir: str, cents: np.ndarray) -> None:
     """The centroid table is k×dim DRIVER data — write it with pyarrow
@@ -91,18 +126,53 @@ def build_ivf_index(
     cluster)`` so readers need no schema hints.
     """
     cents, src = kmeans_fit(df, n_clusters, iterations, id_col, vec_col)
-    _write_centroids(index_dir, cents)
-    (
-        src.select(
-            F.col("_id").alias("vec_id"),
-            F.col("_v").alias("embedding"),
-            _assign_udf(cents)(F.col("_v")).cast("int").alias("cluster"),
+    with _maintenance_lock(index_dir, wait=True):
+        _write_centroids(index_dir, cents)
+        (
+            src.select(
+                F.col("_id").alias("vec_id"),
+                F.col("_v").alias("embedding"),
+                _assign_udf(cents)(F.col("_v")).cast("int").alias("cluster"),
+            )
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{index_dir}/vectors")
         )
-        .write.mode("overwrite")
-        .partitionBy("cluster")
-        .parquet(f"{index_dir}/vectors")
-    )
+        # one-column membership sidecar (see _indexed_ids) — derived from
+        # the just-written table so the two can never disagree at build
+        (
+            df.sparkSession.read.parquet(f"{index_dir}/vectors")
+            .select("vec_id")
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/ids")
+        )
     return cents
+
+
+def _indexed_ids(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Membership set for the append anti-join, served from the slim
+    one-column ``{index_dir}/ids`` sidecar — NOT from the wide
+    cluster-partitioned payload table (at 100 TB the payload has
+    thousands of files per cell; membership must not pay that listing +
+    footer cost per append).  The sidecar is kept consistent by the
+    ``.append-inflight`` marker protocol in :func:`ivf_index_append`:
+    the marker is set before the payload append and cleared only after
+    the sidecar append, so a crash between the two leaves the marker
+    and the NEXT append reconciles the sidecar from the payload table
+    (one recovery scan) before trusting it again.  Legacy indexes built
+    before the sidecar existed reconcile the same way."""
+    marker = f"{index_dir}/.append-inflight"
+    sidecar = f"{index_dir}/ids"
+    if os.path.exists(marker) or not os.path.exists(f"{sidecar}/_SUCCESS"):
+        (
+            spark.read.parquet(f"{index_dir}/vectors")
+            .select("vec_id")
+            .write.mode("overwrite")
+            .parquet(sidecar)
+        )
+        if os.path.exists(marker):
+            os.remove(marker)
+    return spark.read.parquet(sidecar)
 
 
 def load_centroids(spark: SparkSession, index_dir: str) -> np.ndarray:
@@ -120,30 +190,37 @@ def ivf_index_append(
     """Append only NOT-yet-indexed vectors, assigned by the frozen
     quantizer (no retrain).  Returns the number of rows appended;
     re-submitting already-indexed ids appends nothing (J1 anti-join,
-    same discipline as checkpoint.pending_files)."""
+    same discipline as checkpoint.pending_files).  The membership check
+    reads the slim ``ids`` sidecar, not the payload table (see
+    :func:`_indexed_ids` for the crash-reconcile protocol)."""
     spark = df.sparkSession
-    cents = load_centroids(spark, index_dir)
-    existing = spark.read.parquet(f"{index_dir}/vectors").select("vec_id")
-    from sema_spark.plans.materialize import materialize
+    with _maintenance_lock(index_dir, wait=True):
+        cents = load_centroids(spark, index_dir)
+        existing = _indexed_ids(spark, index_dir)
+        from sema_spark.plans.materialize import materialize
 
-    # cut so the count and the write share one anti-join execution;
-    # materialize() keeps the cut mode a deployment decision (persist /
-    # reliable on a cluster) instead of hardcoding localCheckpoint
-    fresh = materialize(
-        df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-        .join(existing, "vec_id", "left_anti")
-    )
-    n = fresh.count()
-    if n:
-        (
-            fresh.withColumn(
-                "cluster", _assign_udf(cents)(F.col("embedding")).cast("int")
-            )
-            .write.mode("append")
-            .partitionBy("cluster")
-            .parquet(f"{index_dir}/vectors")
+        # cut so the count and the write share one anti-join execution;
+        # materialize() keeps the cut mode a deployment decision (persist /
+        # reliable on a cluster) instead of hardcoding localCheckpoint
+        fresh = materialize(
+            df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+            .join(existing, "vec_id", "left_anti")
         )
-    return n
+        n = fresh.count()
+        if n:
+            marker = f"{index_dir}/.append-inflight"
+            open(marker, "w").close()
+            (
+                fresh.withColumn(
+                    "cluster", _assign_udf(cents)(F.col("embedding")).cast("int")
+                )
+                .write.mode("append")
+                .partitionBy("cluster")
+                .parquet(f"{index_dir}/vectors")
+            )
+            fresh.select("vec_id").write.mode("append").parquet(f"{index_dir}/ids")
+            os.remove(marker)
+        return n
 
 
 def ivf_stored_topk(
@@ -205,63 +282,196 @@ def ivf_index_ready(index_dir: str) -> bool:
 # grades against the same oracle as the in-plan one.
 
 
+def _prep_docs(docs: DataFrame) -> DataFrame:
+    """(repo, path, content) + the per-row sha256 invariant column."""
+    return docs.select(
+        "repo", "path", "content", F.sha2(F.col("content"), 256).alias("content_sha")
+    )
+
+
+def _chunk_rows(docs_with_sha: DataFrame, gen: int) -> DataFrame:
+    from sema_spark.functions.vector import l2_norm
+    from sema_spark.operators.chunker import chunk_and_embed
+
+    return (
+        chunk_and_embed(docs_with_sha, carry=("content_sha",))
+        .withColumn("emb_norm", l2_norm(F.col("embedding")))
+        .withColumn("_gen", F.lit(int(gen)))
+    )
+
+
+def _file_state(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Latest filestate entry per (repo, path): ``(repo, path,
+    content_sha, gen)`` with ``gen == _GEN_DELETED`` meaning the file
+    was removed.  None for a legacy (pre-filestate) index.  The log is
+    FILE-level — orders of magnitude smaller than the chunk table — so
+    both the append membership check and the query-side liveness join
+    read it instead of scanning chunks (and the liveness join
+    broadcasts)."""
+    if not os.path.exists(f"{index_dir}/filestate/_SUCCESS"):
+        return None
+    log = spark.read.parquet(f"{index_dir}/filestate")
+    # max_by over seq: later entries supersede earlier ones per file
+    return log.groupBy("repo", "path").agg(
+        F.max_by(F.struct("content_sha", "gen"), "seq").alias("_s"),
+    ).select("repo", "path", F.col("_s.content_sha").alias("content_sha"), F.col("_s.gen").alias("gen"))
+
+
+def _append_filestate(docs_keys: DataFrame, index_dir: str, gen: int) -> None:
+    """Append (repo, path, content_sha) rows to the log at generation
+    ``gen``; ``seq`` copies ``gen`` so later generations win max_by."""
+    (
+        docs_keys.withColumn("gen", F.lit(int(gen)))
+        .withColumn("seq", F.lit(int(abs(gen))))
+        .write.mode("append")
+        .parquet(f"{index_dir}/filestate")
+    )
+
+
+def _next_seq(spark: SparkSession, index_dir: str) -> int:
+    """1 + the log's max seq — the next generation/sequence number.
+    (Monotonic across removals too: a delete entry consumes a seq, so a
+    later re-add of the file gets a strictly larger one.)"""
+    log = spark.read.parquet(f"{index_dir}/filestate")
+    return int(log.agg(F.max("seq")).collect()[0][0] or 0) + 1
+
+
+def live_chunks(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The CURRENT chunk set: payload rows whose ``(repo, path, _gen)``
+    matches the latest live filestate entry.  Superseded generations
+    (content changed) and deleted files drop out here without any
+    physical delete — the liveness join broadcasts the file-level state
+    so the chunk table itself never shuffles.  Orphan payload rows from
+    a crash between payload- and log-append are never live (the log is
+    written LAST) and are GC'd by :func:`compact_semantic_index`."""
+    chunks = spark.read.parquet(f"{index_dir}/chunks")
+    state = _file_state(spark, index_dir)
+    if state is None or "_gen" not in chunks.columns:
+        return chunks  # legacy append-only index
+    alive = state.where(F.col("gen") != _GEN_DELETED).select(
+        "repo", "path", F.col("gen").alias("_gen")
+    )
+    return chunks.join(F.broadcast(alive), ["repo", "path", "_gen"], "left_semi")
+
+
 def build_semantic_index(docs: DataFrame, index_dir: str) -> None:
     """Chunk + embed ``docs`` (repo, path, content) once and persist the
     chunk-embedding table, with each chunk's L2 norm PRECOMPUTED (the
     identical ``l2_norm`` expression a query would run, so the stored
     float64 is bit-equal to in-query recomputation — queries then pay
-    one interpreted aggregate per chunk instead of three)."""
-    from sema_spark.functions.vector import l2_norm
-    from sema_spark.operators.chunker import chunk_and_embed
+    one interpreted aggregate per chunk instead of three).  Each chunk
+    carries its file's ``content_sha`` (the per-row invariant) and a
+    generation number; the file-level ``filestate`` log records the
+    indexed (repo, path, content_sha) set for incremental maintenance."""
+    import shutil
 
-    (
-        chunk_and_embed(docs)
-        .withColumn("emb_norm", l2_norm(F.col("embedding")))
-        .write.mode("overwrite")
-        .parquet(f"{index_dir}/chunks")
-    )
+    d = _prep_docs(docs)
+    with _maintenance_lock(index_dir, wait=True):
+        _chunk_rows(d, gen=0).write.mode("overwrite").parquet(f"{index_dir}/chunks")
+        shutil.rmtree(f"{index_dir}/filestate", ignore_errors=True)
+        _append_filestate(d.select("repo", "path", "content_sha"), index_dir, gen=0)
 
 
 def semantic_index_append(docs: DataFrame, index_dir: str) -> int:
-    """Incrementally index NEW files only: (repo, path) not yet present
-    are chunked + embedded and appended; existing files are skipped
-    (J1 anti-join — re-submitting an already-indexed corpus appends
-    nothing).  Returns the number of newly indexed FILES."""
-    from sema_spark.operators.chunker import chunk_and_embed
+    """Incrementally index NEW and CHANGED files: a file is skipped only
+    when its (repo, path, CONTENT-sha) is already live — matching the
+    reference watcher, which hashes content and re-indexes on change
+    (/root/reference/src/storage/mod.rs process_and_index_files →
+    remove_file_chunks).  Changed files get a new generation; their old
+    chunks die via the liveness join (no physical delete — see
+    :func:`live_chunks`), so searches never serve stale chunks.
+    Re-submitting an unchanged corpus appends nothing (J1 anti-join
+    against the file-level log, NOT a chunk-table scan).  Returns the
+    number of newly indexed files.
 
-    from sema_spark.functions.vector import l2_norm
+    Crash-safety: payload chunks append BEFORE the filestate log, so a
+    crash between the two leaves orphan (never-live) chunk rows that a
+    retry re-indexes and compaction GCs — never stale or missing data.
 
-    spark = docs.sparkSession
-    existing = (
-        spark.read.parquet(f"{index_dir}/chunks").select("repo", "path").distinct()
-    )
+    Legacy (pre-filestate) indexes fall back to the r5 (repo, path)
+    anti-join: append-only, content changes NOT detected (rebuild to
+    upgrade)."""
     from sema_spark.plans.materialize import materialize
 
-    fresh = materialize(docs.join(existing, ["repo", "path"], "left_anti"))
-    n = fresh.count()
-    if n:
-        (
-            chunk_and_embed(fresh)
-            .withColumn("emb_norm", l2_norm(F.col("embedding")))
-            .write.mode("append")
-            .parquet(f"{index_dir}/chunks")
+    spark = docs.sparkSession
+    with _maintenance_lock(index_dir, wait=True):
+        state = _file_state(spark, index_dir)
+        if state is None and os.path.exists(f"{index_dir}/chunks/_SUCCESS"):
+            # legacy fallback (r5 semantics)
+            from sema_spark.functions.vector import l2_norm
+            from sema_spark.operators.chunker import chunk_and_embed
+
+            existing = spark.read.parquet(f"{index_dir}/chunks").select("repo", "path").distinct()
+            fresh = materialize(docs.join(existing, ["repo", "path"], "left_anti"))
+            n = fresh.count()
+            if n:
+                (
+                    chunk_and_embed(fresh)
+                    .withColumn("emb_norm", l2_norm(F.col("embedding")))
+                    .write.mode("append")
+                    .parquet(f"{index_dir}/chunks")
+                )
+            return n
+
+        if state is None:
+            raise ValueError(
+                f"no index at {index_dir} — build_semantic_index first (an empty "
+                "docs frame is fine for stream-first setups)"
+            )
+        d = _prep_docs(docs)
+        alive = state.where(F.col("gen") != _GEN_DELETED).select("repo", "path", "content_sha")
+        fresh = materialize(d.join(alive, ["repo", "path", "content_sha"], "left_anti"))
+        n = fresh.count()
+        if n:
+            gen = _next_seq(spark, index_dir)
+            _chunk_rows(fresh, gen).write.mode("append").parquet(f"{index_dir}/chunks")
+            _append_filestate(fresh.select("repo", "path", "content_sha"), index_dir, gen)
+        return n
+
+
+def semantic_index_remove(spark: SparkSession, index_dir: str, paths: DataFrame) -> int:
+    """Remove files from the index: append a DELETED filestate entry per
+    (repo, path) — the reference's ``remove_file_chunks``
+    (/root/reference/src/storage/mod.rs) as a log write; the chunks die
+    at the liveness join and their bytes are reclaimed at compaction.
+    Returns the number of live files removed."""
+    from sema_spark.plans.materialize import materialize
+
+    with _maintenance_lock(index_dir, wait=True):
+        state = _file_state(spark, index_dir)
+        if state is None:
+            raise ValueError("legacy index has no filestate log — rebuild to enable removal")
+        alive = state.where(F.col("gen") != _GEN_DELETED)
+        doomed = materialize(
+            paths.select("repo", "path").distinct().join(alive, ["repo", "path"], "left_semi")
         )
-    return n
+        n = doomed.count()
+        if n:
+            next_seq = _next_seq(spark, index_dir)
+            (
+                doomed.withColumn("content_sha", F.lit(None).cast("string"))
+                .withColumn("gen", F.lit(int(_GEN_DELETED)))
+                .withColumn("seq", F.lit(int(next_seq)))
+                .write.mode("append")
+                .parquet(f"{index_dir}/filestate")
+            )
+        return n
 
 
 def semantic_search_stored(spark: SparkSession, index_dir: str, query: str, k: int = 50) -> DataFrame:
     """Entry point B served from the stored index — no re-chunk, no
     re-encode: only the query string is encoded (driver-side literal),
     then exact cosine top-k + the per-file window over the precomputed
-    chunk table."""
+    chunk table (liveness-filtered: superseded and deleted files are
+    never served)."""
     from sema_spark.plans.pipeline import semantic_search
 
-    chunks = spark.read.parquet(f"{index_dir}/chunks")
+    chunks = live_chunks(spark, index_dir)
     # indexes written before the emb_norm column existed still answer
     # correctly through the three-aggregate path
     norm_col = "emb_norm" if "emb_norm" in chunks.columns else None
     out = semantic_search(spark, chunks, query, k=k, norm_col=norm_col)
-    return out.drop("emb_norm")
+    return out.drop("emb_norm", "content_sha", "_gen")
 
 
 def semantic_index_ready(index_dir: str) -> bool:
@@ -355,23 +565,31 @@ def _compact_table(
     table_dir: str,
     partition_by: str | None = None,
     files_per_partition: int = 1,
+    df: DataFrame | None = None,
 ) -> None:
     """Rewrite a stored-index table into few large files (the Lance
     ``optimize``/compaction analog — every append above leaves one file
     set per batch, and a long-lived incrementally-maintained index
     degrades into a small-files problem without this).
 
-    Single-writer maintenance op, crash-safe for READERS-after-crash on
-    a rename-capable filesystem: the rewrite lands in a sibling temp
-    dir, then two renames swap it in; a crash before the first rename
-    leaves the live table untouched, between renames there is a gap a
-    retry fixes (rerun compact — the ``.old`` dir still holds the
-    data).  On an object store without atomic rename, use the
-    checkpoint log's append-then-GC compaction instead
-    (sources/checkpoint.compact)."""
+    Writer exclusion is the CALLER's job (take ``_maintenance_lock``
+    non-blocking — an append landing between the read and the rename
+    would be silently discarded, including the streaming maintainer's,
+    whose file-source checkpoint never re-offers processed files).
+    Crash-safe for READERS-after-crash on a rename-capable filesystem:
+    the rewrite lands in a sibling temp dir, then two renames swap it
+    in; a crash before the first rename leaves the live table
+    untouched, between renames there is a gap a retry fixes (rerun
+    compact — the ``.old`` dir still holds the data).  On an object
+    store without atomic rename, use the checkpoint log's
+    append-then-GC compaction instead (sources/checkpoint.compact).
+
+    ``df``: optional replacement row set (e.g. the liveness-filtered
+    chunk table, so compaction GCs dead generations)."""
     import shutil
 
-    df = spark.read.parquet(table_dir)
+    if df is None:
+        df = spark.read.parquet(table_dir)
     tmp = f"{table_dir}.compact-tmp-{os.getpid()}"
     # hash-cluster rows so each partition value lands in one task → one
     # output file per partition dir; unpartitioned tables coalesce flat
@@ -391,10 +609,28 @@ def _compact_table(
 
 
 def compact_ivf_index(spark: SparkSession, index_dir: str) -> None:
-    """Compact the vector table to one file per cluster partition."""
-    _compact_table(spark, f"{index_dir}/vectors", partition_by="cluster")
+    """Compact the vector table to one file per cluster partition.
+    Raises if another writer (append / stream) is active."""
+    with _maintenance_lock(index_dir, wait=False):
+        _compact_table(spark, f"{index_dir}/vectors", partition_by="cluster")
+        # resize the membership sidecar too (same row set, fewer files)
+        _compact_table(spark, f"{index_dir}/ids")
 
 
 def compact_semantic_index(spark: SparkSession, index_dir: str) -> None:
-    """Compact the chunk table into a single file set."""
-    _compact_table(spark, f"{index_dir}/chunks")
+    """Compact the chunk table into a single file set, GC-ing dead rows
+    (superseded generations, deleted files, crash orphans), then shrink
+    the filestate log to its latest live entry per file.  Raises if
+    another writer (append / stream) is active.  Order matters for
+    crash-safety: chunks first — a crash before the log compaction
+    leaves extra log entries whose liveness semantics are unchanged."""
+    with _maintenance_lock(index_dir, wait=False):
+        state = _file_state(spark, index_dir)
+        _compact_table(
+            spark, f"{index_dir}/chunks", df=live_chunks(spark, index_dir)
+        )
+        if state is not None:
+            live = state.where(F.col("gen") != _GEN_DELETED).withColumn(
+                "seq", F.abs("gen")
+            ).select("repo", "path", "content_sha", "gen", "seq")
+            _compact_table(spark, f"{index_dir}/filestate", df=live)

@@ -121,12 +121,18 @@ def run_semantic_index_stream(
 ):
     """Streaming maintenance of the STORED semantic index — the
     reference's watcher loop (/root/reference/src/storage/mod.rs:30-52
-    watches the directory and updates its Lance index incrementally) as
-    Structured Streaming: every microbatch of newly-landed repo files
-    flows through ``semantic_index_append``, whose (repo, path)
-    anti-join makes replayed microbatches no-ops — the same two-level
-    exactly-once story as ``run_triples_stream_to_log`` (file-source
-    checkpoint dedupes input files, the anti-join dedupes work).  The
+    watches the directory, hashes content, and re-indexes changed files
+    incrementally) as Structured Streaming: every microbatch of
+    newly-landed repo files flows through ``semantic_index_append``,
+    whose (repo, path, CONTENT-sha) anti-join makes replayed
+    microbatches no-ops while a file re-landing with NEW content gets a
+    new generation (its old chunks die at the liveness join) — the same
+    two-level exactly-once story as ``run_triples_stream_to_log``
+    (file-source checkpoint dedupes input files, the anti-join dedupes
+    work).  Note the file source only surfaces newly-ARRIVED files: an
+    in-place mtime-only edit is invisible to Spark's file source, so
+    changed content must land as a new file (the append handles the
+    rest); deletions are batch-side (``semantic_index_remove``).  The
     index must exist (``build_semantic_index``, possibly over an empty
     frame) before the stream starts."""
     from sema_spark.sources.ann_index import semantic_index_append

@@ -268,3 +268,197 @@ def test_semantic_ann_allprobe_equals_exact_and_prunes(spark, tmp_path):
     )
     assert "PartitionFilters: [" in plan
     assert "cluster" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+
+# ------------------------- round-6 maintenance semantics (ADVICE r5) --
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "repo string, path string, content string")
+
+
+def _live_paths(spark, idx, q, k=20):
+    from sema_spark.sources.ann_index import semantic_search_stored
+
+    return {r.path for r in semantic_search_stored(spark, idx, q, k=k).collect()}
+
+
+def test_semantic_index_reindexes_changed_content(spark, tmp_path):
+    """The r5 gap (ADVICE): a file whose CONTENT changed was skipped
+    forever.  Now (repo, path, content_sha) membership re-indexes it
+    and the liveness join retires the stale generation."""
+    from sema_spark.sources.ann_index import (
+        build_semantic_index,
+        live_chunks,
+        semantic_index_append,
+        semantic_search_stored,
+    )
+
+    old = "def spark_shuffle_join():\n    pass\n" * 8
+    new = "def kafka_stream_sink():\n    pass\n" * 8
+    docs_v1 = _docs_df(spark, [("r", "a.py", old), ("r", "b.py", old)])
+    idx = str(tmp_path / "sem")
+    build_semantic_index(docs_v1, idx)
+
+    # unchanged re-append: no-op
+    assert semantic_index_append(docs_v1, idx) == 0
+    # a.py changes content: exactly one file re-indexed
+    docs_v2 = _docs_df(spark, [("r", "a.py", new), ("r", "b.py", old)])
+    assert semantic_index_append(docs_v2, idx) == 1
+    assert semantic_index_append(docs_v2, idx) == 0  # idempotent at v2
+
+    live = live_chunks(spark, idx)
+    shas = {r.path: r.content_sha for r in live.select("path", "content_sha").distinct().collect()}
+    import hashlib
+
+    assert shas["a.py"] == hashlib.sha256(new.encode()).hexdigest()
+    assert shas["b.py"] == hashlib.sha256(old.encode()).hexdigest()
+    # searches rank a.py by its NEW content only (stale chunks would
+    # put a.py's old spark-shuffle text at the top of the second query)
+    top_kafka = semantic_search_stored(spark, idx, "kafka stream sink", k=1).collect()
+    top_spark = semantic_search_stored(spark, idx, "spark shuffle join", k=1).collect()
+    assert top_kafka[0].path == "a.py"
+    assert top_spark[0].path == "b.py"
+    # stale generation rows exist physically but are never live
+    raw = spark.read.parquet(f"{idx}/chunks")
+    assert raw.count() > live.count()
+
+
+def test_semantic_index_remove_and_reindex(spark, tmp_path):
+    """Deleted files leave the serving set (the reference's
+    remove_file_chunks); re-adding the path later re-indexes it."""
+    from sema_spark.sources.ann_index import (
+        build_semantic_index,
+        semantic_index_append,
+        semantic_index_remove,
+    )
+
+    body = "def spark_shuffle_join():\n    pass\n" * 8
+    docs = _docs_df(spark, [("r", "a.py", body), ("r", "b.py", body)])
+    idx = str(tmp_path / "sem")
+    build_semantic_index(docs, idx)
+
+    gone = spark.createDataFrame([("r", "a.py")], "repo string, path string")
+    assert semantic_index_remove(spark, idx, gone) == 1
+    assert semantic_index_remove(spark, idx, gone) == 0  # idempotent
+    assert _live_paths(spark, idx, "spark shuffle join") == {"b.py"}
+    # re-add after delete: re-indexed at a fresh generation
+    assert semantic_index_append(docs, idx) == 1
+    assert _live_paths(spark, idx, "spark shuffle join") == {"a.py", "b.py"}
+
+
+def test_semantic_compaction_gcs_dead_generations(spark, tmp_path):
+    """Compaction physically drops superseded/deleted chunk rows and
+    shrinks the filestate log, answers unchanged."""
+    from sema_spark.sources.ann_index import (
+        build_semantic_index,
+        compact_semantic_index,
+        live_chunks,
+        semantic_index_append,
+        semantic_index_remove,
+        semantic_search_stored,
+    )
+
+    old = "def spark_shuffle_join():\n    pass\n" * 8
+    new = "def kafka_stream_sink():\n    pass\n" * 8
+    idx = str(tmp_path / "sem")
+    build_semantic_index(
+        _docs_df(spark, [("r", "a.py", old), ("r", "b.py", old), ("r", "c.py", old)]), idx
+    )
+    semantic_index_append(_docs_df(spark, [("r", "a.py", new)]), idx)
+    semantic_index_remove(spark, idx, spark.createDataFrame([("r", "c.py")], "repo string, path string"))
+
+    before = [
+        (r.path, r.start_line, r.score)
+        for r in semantic_search_stored(spark, idx, "spark shuffle join", k=10).collect()
+    ]
+    n_live = live_chunks(spark, idx).count()
+    assert spark.read.parquet(f"{idx}/chunks").count() > n_live
+    compact_semantic_index(spark, idx)
+    assert spark.read.parquet(f"{idx}/chunks").count() == n_live
+    assert spark.read.parquet(f"{idx}/filestate").count() == 2  # a.py, b.py latest only
+    after = [
+        (r.path, r.start_line, r.score)
+        for r in semantic_search_stored(spark, idx, "spark shuffle join", k=10).collect()
+    ]
+    assert after == before and before
+
+
+def test_noop_append_membership_reads_log_not_payload(spark, tmp_path, monkeypatch):
+    """VERDICT r5 #7: append membership must come from the slim
+    file-level log / id sidecar, never a scan of the payload table."""
+    from sema_spark.sources import ann_index as A
+
+    body = "def spark_shuffle_join():\n    pass\n" * 8
+    docs = _docs_df(spark, [("r", f"f{i}.py", body + f"# {i}\n") for i in range(4)])
+    sidx = str(tmp_path / "sem")
+    A.build_semantic_index(docs, sidx)
+
+    ids, vecs = _blob_data(n=30)
+    vidx = str(tmp_path / "ivf")
+    build_ivf_index(_df(spark, ids, vecs), vidx, n_clusters=3, iterations=2)
+
+    from pyspark.sql.readwriter import DataFrameReader
+
+    seen = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths):
+        seen.extend(paths)
+        return orig(self, *paths)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    assert A.semantic_index_append(docs, sidx) == 0
+    assert A.ivf_index_append(_df(spark, ids, vecs), vidx) == 0
+    payload_reads = [p for p in seen if p.endswith("/chunks") or p.endswith("/vectors")]
+    assert payload_reads == []
+    assert any(p.endswith("/filestate") for p in seen)
+    assert any(p.endswith("/ids") for p in seen)
+
+
+def test_ivf_append_inflight_marker_reconciles(spark, tmp_path):
+    """A crash between the payload append and the sidecar append leaves
+    the marker; the next append must rebuild the sidecar from the
+    payload before trusting it (no duplicates, no losses)."""
+    import os
+
+    ids, vecs = _blob_data(n=30)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(_df(spark, ids[:20], vecs[:20]), idx, n_clusters=3, iterations=2)
+
+    # simulate the crash window: payload has rows the sidecar lacks
+    import shutil
+
+    shutil.rmtree(f"{idx}/ids")
+    open(f"{idx}/.append-inflight", "w").close()
+
+    assert ivf_index_append(_df(spark, ids[:20], vecs[:20]), idx) == 0  # reconciled, no dupes
+    assert not os.path.exists(f"{idx}/.append-inflight")
+    assert ivf_index_append(_df(spark, ids, vecs), idx) == 10
+    assert spark.read.parquet(f"{idx}/vectors").count() == 30
+    assert spark.read.parquet(f"{idx}/ids").count() == 30
+
+
+def test_compaction_refuses_while_writer_active(spark, tmp_path):
+    """ADVICE r5: compaction racing an append/stream silently discarded
+    its rows — now both take the index lock; compact raises instead of
+    waiting behind an active writer."""
+    import fcntl
+    import os
+
+    import pytest
+
+    from sema_spark.sources.ann_index import build_semantic_index, compact_semantic_index
+
+    body = "def spark_shuffle_join():\n    pass\n" * 8
+    idx = str(tmp_path / "sem")
+    build_semantic_index(_docs_df(spark, [("r", "a.py", body)]), idx)
+
+    fd = os.open(f"{idx}/.lock", os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(RuntimeError, match="another writer"):
+            compact_semantic_index(spark, idx)
+    finally:
+        os.close(fd)
+    compact_semantic_index(spark, idx)  # lock released -> succeeds
