@@ -1277,6 +1277,36 @@ def q_duplicated_spans(spark, sf):
     return duplicated_spans(_docs(spark, sf), w=10)
 
 
+def q_span_removal(spark, sf):
+    """detect → CUT → re-detect: duplicated_spans feeds remove_spans
+    (Lee et al. 2022's pipeline doesn't just report duplicated
+    substrings, it removes them), then the detector re-runs over the
+    cleaned corpus — n_residual_spans counts what survives (cut
+    boundaries can mint new adjacent w-grams, same as the suffix-array
+    original).  clean_sha gates the reconstructed text EXACTLY
+    (sha256 of the full cleaned string, both engines).  Oracle replays
+    detect + cut + re-detect in one SQL statement."""
+    from sema_spark.operators.curation import duplicated_spans, remove_spans
+
+    docs = _docs(spark, sf)
+    spans = duplicated_spans(docs, w=10)
+    cleaned = remove_spans(docs, spans)
+    re_spans = duplicated_spans(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")), w=10
+    )
+    residual = re_spans.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    return (
+        cleaned.join(residual, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+            "n_words",
+            "n_removed",
+            F.coalesce("_n", F.lit(0)).cast("bigint").alias("n_residual_spans"),
+        )
+    )
+
+
 def q_dedup_passages(spark, sf):
     """CCNet-style corpus-wide passage dedup: 10-word passages, global
     first occurrence (by doc_id, pos) survives, text reassembled.  The
@@ -1468,6 +1498,7 @@ def _build_registry():
         "curation_v2": q_curation_v2,  # contains repetition stage
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # fallback tier reworked r5
         "duplicated_spans": q_duplicated_spans,  # NEW r5
+        "span_removal": q_span_removal,  # NEW r6 (detect -> cut -> re-detect)
         "multimodal_real_decode": q_multimodal_real_decode,  # + PNG codec r5
         "multimodal_resize": q_multimodal_resize,  # NEW r5
         "multimodal_features": q_multimodal_features,  # shares media corpus
@@ -2455,6 +2486,68 @@ def oracle_sql() -> dict[str, str]:
             select doc_id, min(s) as span_start, max(e) as span_end,
                    max(e) - min(s) as span_words
             from g group by doc_id, grp
+        """,
+        "span_removal": r"""
+            with doc as (
+              select doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) as nt
+              from documents where text is not null),
+            words as (select doc_id, regexp_split_to_array(nt, ' ') as ws from doc),
+            occ as (
+              select doc_id, i - 1 as pos,
+                     substr(sha256(array_to_string(ws[i:i+9], ' ')), 1, 32) as h
+              from words, range(1, 4096) r(i)
+              where i <= len(ws) - 10 + 1),
+            dup as (select h from occ group by h having count(*) >= 2),
+            spans as (select o.doc_id, o.pos as s, o.pos + 10 as e
+                      from occ o join dup using (h)),
+            m as (select doc_id, s, e,
+                         max(e) over (partition by doc_id order by s
+                                      rows between unbounded preceding and 1 preceding) as pmax
+                  from spans),
+            g as (select doc_id, s, e,
+                         sum(case when pmax is null or s > pmax then 1 else 0 end)
+                           over (partition by doc_id order by s
+                                 rows between unbounded preceding and current row) as grp
+                  from m),
+            merged as (select doc_id, min(s) as s, max(e) as e
+                       from g group by doc_id, grp),
+            idx as (select doc_id, i - 1 as k, ws[i] as w
+                    from words, range(1, 4096) r(i) where i <= len(ws)),
+            kept as (select x.doc_id, x.k, x.w from idx x
+                     where not exists (select 1 from merged md
+                                       where md.doc_id = x.doc_id
+                                         and x.k >= md.s and x.k < md.e)),
+            cleaned as (
+              select w0.doc_id,
+                     coalesce(k.ct, '') as clean_text,
+                     w0.nw as n_words,
+                     w0.nw - coalesce(k.cnt, 0) as n_removed
+              from (select doc_id, len(ws) as nw from words) w0
+              left join (select doc_id, string_agg(w, ' ' order by k) as ct,
+                                count(*) as cnt
+                         from kept group by doc_id) k using (doc_id)),
+            words2 as (select doc_id, regexp_split_to_array(clean_text, ' ') as ws
+                       from cleaned),
+            occ2 as (select doc_id, i - 1 as pos,
+                            substr(sha256(array_to_string(ws[i:i+9], ' ')), 1, 32) as h
+                     from words2, range(1, 4096) r(i)
+                     where i <= len(ws) - 10 + 1),
+            dup2 as (select h from occ2 group by h having count(*) >= 2),
+            spans2 as (select o.doc_id, o.pos as s, o.pos + 10 as e
+                       from occ2 o join dup2 using (h)),
+            m2 as (select doc_id, s,
+                          max(e) over (partition by doc_id order by s
+                                       rows between unbounded preceding and 1 preceding) as pmax
+                   from spans2),
+            g2 as (select doc_id,
+                          sum(case when pmax is null or s > pmax then 1 else 0 end)
+                            over (partition by doc_id order by s
+                                  rows between unbounded preceding and current row) as grp
+                   from m2),
+            res as (select doc_id, count(distinct grp) as n_residual from g2 group by doc_id)
+            select c.doc_id, sha256(c.clean_text) as clean_sha, c.n_words, c.n_removed,
+                   coalesce(r.n_residual, 0) as n_residual_spans
+            from cleaned c left join res r using (doc_id)
         """,
         "dedup_passages": r"""
             with toks as (select doc_id, regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') w

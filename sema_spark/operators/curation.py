@@ -265,10 +265,16 @@ def duplicated_spans(
     dedup_passages argument); one count shuffle keyed by hash, one
     hash-keyed semi join back, one id-keyed window pass for the
     interval merge.  No N², no Python, and the window explode is one
-    compiled-regex pass (_word_ngrams).
+    compiled-regex pass (_word_ngrams).  ``occ`` feeds both the dup-set
+    aggregation and the semi-join probe side, and Catalyst does not
+    share common subtrees, so it is MATERIALIZED — without the cut the
+    dominant explode+sha2 shingle scan executes twice per run
+    (same-session A/B at sf0.1, best-of-3: 1.48 s uncut → 1.25 s cut).
     """
+    from sema_spark.plans.materialize import materialize
+
     normed = _norm(F.col(text_col))
-    occ = (
+    occ = materialize(
         _spread(docs.select(id_col, text_col))
         .select(
             F.col(id_col).alias("_id"),
@@ -313,6 +319,64 @@ def duplicated_spans(
             F.col("_ss").cast("bigint").alias("span_start"),
             F.col("_se").cast("bigint").alias("span_end"),
             (F.col("_se") - F.col("_ss")).cast("bigint").alias("span_words"),
+        )
+    )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CUT duplicated spans out of the corpus — the consumption step of
+    :func:`duplicated_spans` (Lee et al. 2022 don't just report
+    duplicated substrings, their pipeline removes them from the
+    training set).  ``spans`` is the (id, span_start, span_end) output:
+    word-index intervals over the whitespace-NORMALIZED text, which is
+    exactly the domain the spans were computed in, so dropping the
+    words whose index falls in any ``[span_start, span_end)`` and
+    re-joining the survivors with single spaces is an EXACT removal —
+    no char-offset drift is possible because normalization is the
+    shared coordinate system of both operators (and of their DuckDB
+    replay oracles).
+
+    Returns ``(id_col, clean_text, n_words, n_removed)`` for every doc
+    with non-null text.  Note removal can create NEW w-grams across cut
+    boundaries (two formerly-distant words become adjacent) — the same
+    property as the suffix-array original; callers wanting a fixpoint
+    iterate detect→remove.
+
+    Scale: one file-keyed aggregation of the (small, merged-maximal)
+    span set + one id-keyed join; the per-word span test is an
+    interpreted HOF but the span list per doc is tiny, so cost stays
+    O(words × spans_per_doc) with spans_per_doc ≈ a handful."""
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("_spans")
+    )
+    words = _norm_words(F.col(text_col))
+    kept = F.filter(
+        words,
+        lambda w, i: ~F.exists(
+            F.col("_spans"), lambda b: (b["s"] <= i) & (i < b["e"])
+        ),
+    )
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .join(sp, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_spans").isNull(), F.array_join(words, " "))
+            .otherwise(F.array_join(kept, " "))
+            .alias("clean_text"),
+            F.size(words).cast("bigint").alias("n_words"),
+            F.when(F.col("_spans").isNull(), F.lit(0))
+            .otherwise(F.size(words) - F.size(kept))
+            .cast("bigint")
+            .alias("n_removed"),
         )
     )
 
@@ -532,13 +596,25 @@ def curation_chain(
     capacity: int = 256,
     decontam_n: int = 3,
     passage_words: int = 10,
+    remove_dup_spans: int | None = None,
 ) -> DataFrame:
     """The five-stage curation composition (single source of truth for
     ``__spark_entry__.q_curation_v2`` AND ``tools/bench_scaling.py``'s
     curation scaling job): decontaminate (bench = ``doc_id % 97 == 0``)
-    → repetition-quality keep → corpus-wide passage dedup (keep cleaned
+    → repetition-quality keep → [optional: exact-substring span removal
+    at window ``remove_dup_spans``, Lee et al. 2022's strongest dedup
+    tier — detect + CUT, see :func:`duplicated_spans` /
+    :func:`remove_spans`] → corpus-wide passage dedup (keep cleaned
     text) → next-fit sequence packing → weighted training-mix
     interleave.  ``docs``: (doc_id, text, source).
+
+    ``weights`` must assign a POSITIVE weight to every source in the
+    corpus (validated: non-positive weights raise here; an uncovered
+    source raises during execution) — excluding a source belongs
+    UPSTREAM of the chain, because the r5 pack/interleave fusion packs
+    only interleave survivors (dense bins) where the pre-fusion shape
+    packed everything (holey bins), so a partial weight map would
+    silently change bin assignment.
 
     ``n_shards`` is the packing-parallelism knob — it bounds the
     applyInPandas stage's task count, so a scaling run must set it
@@ -549,6 +625,13 @@ def curation_chain(
     later operator consumes its input more than once internally, and
     Catalyst shares no common subtrees (KG-pipeline lesson)."""
     from sema_spark.plans.materialize import materialize
+
+    bad = {s: w for s, w in weights.items() if not w > 0}
+    if bad:
+        raise ValueError(
+            f"curation_chain weights must be positive (exclude sources upstream "
+            f"instead — see docstring): {bad}"
+        )
 
     bench = docs.where(F.col("doc_id") % 97 == 0)
     train = docs.where(F.col("doc_id") % 97 != 0)
@@ -568,6 +651,18 @@ def curation_chain(
             keep_ids, "doc_id", "left_semi"
         )
     )
+    if remove_dup_spans:
+        # exact-substring tier: detect duplicated >=w-word runs corpus-
+        # wide and CUT them before passage dedup (remove_spans already
+        # materializes nothing extra — duplicated_spans cuts `occ`
+        # internally; the barrier here is because the cleaned text
+        # feeds the multi-consumer dedup_passages stage)
+        spans = duplicated_spans(train, w=remove_dup_spans)
+        train = materialize(
+            remove_spans(train, spans).select(
+                "doc_id", F.col("clean_text").alias("text")
+            )
+        )
     # no materialize barrier here since r5: after the pack/interleave
     # fusion below, `cleaned` has exactly ONE consumer (the r4 shape fed
     # two branches from it), so a cut would only cost a write+read
@@ -593,6 +688,7 @@ def curation_chain(
         source_col="source",
         id_col="doc_id",
         keep_cols=("text",),
+        unknown_sources="error",
     )
     return pack_sequences(
         mixed,
@@ -609,11 +705,18 @@ def weighted_interleave(
     source_col: str,
     id_col: str,
     keep_cols: tuple[str, ...] = (),
+    unknown_sources: str = "drop",
 ) -> DataFrame:
     """Deterministic training-mix interleaving: order documents so that
     sources appear in proportion to ``weights`` (stride scheduling — the
     k-th document of a source sits at virtual time ``k / weight``, so a
     weight-0.5 source appears half as often per unit of output).
+
+    ``unknown_sources="error"`` raises during execution when a row's
+    source has no positive weight instead of dropping it — callers
+    whose downstream shape depends on nothing being dropped
+    (curation_chain's fused pack) enforce their contract this way at
+    zero extra cost (the check rides the existing job, no extra scan).
 
     Returns ``(id_col, source_col, rn_in_source, vt, *keep_cols)``
     where ``vt`` is the virtual-time sort key (``keep_cols`` ride
@@ -633,6 +736,18 @@ def weighted_interleave(
     for s, wt in weights.items():
         frac = F.when(F.col(source_col) == s, F.lit(float(wt))).otherwise(frac)
     w = Window.partitionBy(source_col).orderBy(sha_bucket(F.col(id_col)), id_col)
+    if unknown_sources == "error":
+        frac = F.when(
+            frac.isNotNull() & (frac > 0), frac
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("weighted_interleave: source "),
+                    F.col(source_col),
+                    F.lit(" has no positive weight (curation_chain contract)"),
+                )
+            ).cast("double")
+        )
     return (
         # weight <= 0 must drop, not divide: rn / 0.0 is null under
         # non-ANSI division and an error under ANSI mode

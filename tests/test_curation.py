@@ -417,3 +417,89 @@ def test_duplicated_spans_matches_bruteforce(spark):
     assert {i for i, *_ in got} == {1, 2, 4, 7}
     # doc 7 duplicates doc 1 entirely: all three windows merge to [0,12)
     assert (7, 0, 12, 12) in got
+
+
+def test_remove_spans_cuts_exactly(spark):
+    """remove_spans drops exactly the words inside reported spans (the
+    Lee et al. removal step), verified against a python replica; on
+    this boundary-clean corpus a re-run finds zero residual spans."""
+    import re
+
+    from sema_spark.operators.curation import duplicated_spans, remove_spans
+
+    texts = {
+        1: "a b c d e f u1 u2",
+        2: "x y a b c d e f z",
+        3: "p q r s t",
+        4: " \t ",  # whitespace-only: [''], no grams, passes through as ''
+        5: None,    # dropped (non-null contract)
+    }
+    w = 3
+    docs = spark.createDataFrame([(i, t) for i, t in texts.items()], "doc_id long, text string")
+    spans = duplicated_spans(docs, w=w)
+    got = {
+        r.doc_id: (r.clean_text, r.n_words, r.n_removed)
+        for r in remove_spans(docs, spans).collect()
+    }
+
+    # python replica: same normalize → span → cut
+    sp = {}
+    for r in spans.collect():
+        sp.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    exp = {}
+    for i, t in texts.items():
+        if t is None:
+            continue
+        ws = re.sub(r"\s+", " ", t).strip().split(" ")
+        dead = {k for s, e in sp.get(i, []) for k in range(s, e)}
+        kept = [x for k, x in enumerate(ws) if k not in dead]
+        exp[i] = (" ".join(kept), len(ws), len(dead))
+    assert got == exp
+    assert got[1] == ("u1 u2", 8, 6)
+    assert got[2] == ("x y z", 9, 6)
+    assert got[3] == ("p q r s t", 5, 0)
+    assert got[4] == ("", 1, 0)
+    assert 5 not in got
+
+    cleaned = spark.createDataFrame(
+        [(i, c) for i, (c, _, _) in got.items()], "doc_id long, text string"
+    )
+    assert duplicated_spans(cleaned, w=w).count() == 0
+
+
+def test_curation_chain_contract_and_span_stage(spark):
+    """r6: the chain validates its weight contract (the r5 fusion made
+    partial weight maps silently change bin assignment) and optionally
+    composes the exact-substring removal tier."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from sema_spark.operators.curation import curation_chain
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    dup = "one two three four five six seven eight nine ten"
+    rows = [
+        (i, f"{base} {i} " + (dup if i in (5, 7) else f"tail{i} mid{i} end{i}"), f"src{i % 2}")
+        for i in range(1, 13)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    with pytest.raises(ValueError, match="positive"):
+        curation_chain(docs, weights={"src0": 1.0, "src1": 0.0})
+    # uncovered source raises during execution, not a silent drop
+    with pytest.raises(SparkRuntimeException, match="no positive weight"):
+        curation_chain(docs, weights={"src0": 1.0}).collect()
+
+    w = {"src0": 1.0, "src1": 0.5}
+    plain = curation_chain(docs, weights=w).collect()
+    cut = curation_chain(docs, weights=w, remove_dup_spans=10).collect()
+    tok = lambda rows_: {r.doc_id: r.n_tokens for r in rows_}
+    # docs 5 and 7 share the 10-word run at word index [9, 19).  The
+    # span stage cuts it from BOTH docs (5: 19→9 tokens, 7: 19→9); the
+    # plain chain's passage dedup only drops doc 7's copy of the
+    # trailing 9-word passage (5: 19, 7: 10) — the exact-substring tier
+    # removes strictly more duplication, which is its point.
+    assert (tok(plain)[5], tok(plain)[7]) == (19, 10)
+    assert (tok(cut)[5], tok(cut)[7]) == (9, 9)
+    untouched = set(tok(plain)) - {5, 7}
+    assert {d: tok(cut)[d] for d in untouched} == {d: tok(plain)[d] for d in untouched}
