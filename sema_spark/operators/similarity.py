@@ -91,6 +91,26 @@ def build_lsh_index(
     return df.withColumn("bucket", sk(F.col(vec_col)))
 
 
+def probe_buckets(qvec: list[float], dim: int, num_bits: int, probes: int) -> list[int]:
+    """The buckets an LSH query inspects: the query's own sign-sketch
+    bucket plus multi-probe variants flipping the lowest-|margin| bits
+    (closest to a hyperplane boundary).  Shared by the in-plan
+    :func:`ann_lsh_topk` and the stored index's partition-pruned query
+    (sources/ann_index.lsh_stored_topk) so the two can never diverge."""
+    import numpy as np
+
+    from sema_spark.operators.dedup import _planes
+
+    q = np.asarray(qvec, dtype=np.float32)
+    margins = q @ _planes(dim, num_bits)
+    bucket = int(sum(1 << i for i, m in enumerate(margins) if m > 0))
+    order = np.argsort(np.abs(margins))
+    out = {bucket}
+    for i in range(min(probes - 1, num_bits)):
+        out.add(bucket ^ (1 << int(order[i])))
+    return sorted(int(b) for b in out)
+
+
 def ann_lsh_topk(
     index_df: DataFrame,
     qvec: list[float],
@@ -103,19 +123,9 @@ def ann_lsh_topk(
 ) -> DataFrame:
     """ANN top-k over a build_lsh_index output: probe the query bucket and
     its nearest variants (weakest-bit flips), exact cosine inside."""
-    import numpy as np
-
-    from sema_spark.operators.dedup import _planes
-
-    q = np.asarray(qvec, dtype=np.float32)
-    margins = q @ _planes(dim, num_bits)
-    bucket = int(sum(1 << i for i, m in enumerate(margins) if m > 0))
-    # multi-probe: flip the lowest-|margin| bits (closest to the boundary)
-    order = np.argsort(np.abs(margins))
-    probe_buckets = {bucket}
-    for i in range(min(probes - 1, num_bits)):
-        probe_buckets.add(bucket ^ (1 << int(order[i])))
-    cand = index_df.filter(F.col("bucket").isin(*[int(b) for b in probe_buckets]))
+    cand = index_df.filter(
+        F.col("bucket").isin(probe_buckets(qvec, dim, num_bits, probes))
+    )
     return (
         cand.select(id_col, F.round(cosine(F.col(vec_col), _qlit(qvec)), 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))

@@ -196,31 +196,42 @@ def ivf_index_append(
     spark = df.sparkSession
     with _maintenance_lock(index_dir, wait=True):
         cents = load_centroids(spark, index_dir)
-        existing = _indexed_ids(spark, index_dir)
-        from sema_spark.plans.materialize import materialize
-
-        # cut so the count and the write share one anti-join execution;
-        # materialize() keeps the cut mode a deployment decision (persist /
-        # reliable on a cluster) instead of hardcoding localCheckpoint
-        fresh = materialize(
-            df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-            .join(existing, "vec_id", "left_anti")
+        return _append_new_vectors(
+            df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+            index_dir,
+            part_col="cluster",
+            assign=_assign_udf(cents)(F.col("embedding")).cast("int"),
         )
-        n = fresh.count()
-        if n:
-            marker = f"{index_dir}/.append-inflight"
-            open(marker, "w").close()
-            (
-                fresh.withColumn(
-                    "cluster", _assign_udf(cents)(F.col("embedding")).cast("int")
-                )
-                .write.mode("append")
-                .partitionBy("cluster")
-                .parquet(f"{index_dir}/vectors")
-            )
-            fresh.select("vec_id").write.mode("append").parquet(f"{index_dir}/ids")
-            os.remove(marker)
-        return n
+
+
+def _append_new_vectors(canon: DataFrame, index_dir: str, part_col, assign) -> int:
+    """Shared append core for partition-keyed stored vector tables (IVF
+    by quantizer cluster, LSH by sketch bucket): anti-join the id
+    sidecar, append survivors to their partitions, log their ids — with
+    the inflight-marker crash protocol of :func:`_indexed_ids`.
+    Caller holds the maintenance lock and supplies the frozen partition
+    assignment expression."""
+    from sema_spark.plans.materialize import materialize
+
+    spark = canon.sparkSession
+    existing = _indexed_ids(spark, index_dir)
+    # cut so the count and the write share one anti-join execution;
+    # materialize() keeps the cut mode a deployment decision (persist /
+    # reliable on a cluster) instead of hardcoding localCheckpoint
+    fresh = materialize(canon.join(existing, "vec_id", "left_anti"))
+    n = fresh.count()
+    if n:
+        marker = f"{index_dir}/.append-inflight"
+        open(marker, "w").close()
+        (
+            fresh.withColumn(part_col, assign)
+            .write.mode("append")
+            .partitionBy(part_col)
+            .parquet(f"{index_dir}/vectors")
+        )
+        fresh.select("vec_id").write.mode("append").parquet(f"{index_dir}/ids")
+        os.remove(marker)
+    return n
 
 
 def ivf_stored_topk(
@@ -264,6 +275,121 @@ def ivf_index_ready(index_dir: str) -> bool:
     return os.path.exists(f"{index_dir}/centroids/_SUCCESS") and os.path.exists(
         f"{index_dir}/vectors/_SUCCESS"
     )
+
+
+# --------------------------------------------- stored hyperplane-LSH index
+#
+# The persisted form of operators/similarity.build_lsh_index — whose
+# docstring always said "persist/write this partitioned by bucket for
+# repeated queries"; this is that write.  Same stored-engine shape as
+# the IVF family above (the reference pattern:
+# /root/reference/src/storage/lance_indexer.rs:30-163 stores the index
+# and maintains it incrementally), but the quantizer needs no training:
+# buckets are the deterministic hyperplane sign sketch, a pure function
+# of (dim, num_bits), so "freezing" it is just recording those two
+# params in a meta file.  A probe then READS only its buckets'
+# partition files (PartitionFilters — plan-gated) instead of scanning
+# and filtering.
+
+
+def build_lsh_stored_index(
+    df: DataFrame,
+    index_dir: str,
+    dim: int,
+    num_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Sketch every vector and store the table ``partitionBy(bucket)``
+    plus the (dim, num_bits) meta and the id membership sidecar."""
+    import json
+
+    from sema_spark.operators.similarity import build_lsh_index
+
+    spark = df.sparkSession
+    with _maintenance_lock(index_dir, wait=True):
+        canon = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+        (
+            build_lsh_index(canon, dim=dim, num_bits=num_bits)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{index_dir}/vectors")
+        )
+        with open(f"{index_dir}/lsh_meta.json", "w") as f:
+            json.dump({"dim": dim, "num_bits": num_bits}, f)
+        (
+            spark.read.parquet(f"{index_dir}/vectors")
+            .select("vec_id")
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/ids")
+        )
+
+
+def _lsh_meta(index_dir: str) -> tuple[int, int]:
+    import json
+
+    with open(f"{index_dir}/lsh_meta.json") as f:
+        m = json.load(f)
+    return int(m["dim"]), int(m["num_bits"])
+
+
+def lsh_index_append(
+    df: DataFrame, index_dir: str, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> int:
+    """Append NOT-yet-indexed vectors, bucketed by the stored sketch
+    params (no re-hash of existing data); same anti-join + inflight-
+    marker discipline as :func:`ivf_index_append`."""
+    from sema_spark.operators.dedup import hyperplane_sketch
+
+    with _maintenance_lock(index_dir, wait=True):
+        dim, num_bits = _lsh_meta(index_dir)
+        sk = hyperplane_sketch(dim, num_bits)
+        return _append_new_vectors(
+            df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")),
+            index_dir,
+            part_col="bucket",
+            assign=sk(F.col("embedding")),
+        )
+
+
+def lsh_stored_topk(
+    spark: SparkSession,
+    index_dir: str,
+    qvec,
+    k: int = 10,
+    probes: int = 4,
+) -> DataFrame:
+    """ANN top-k over the stored LSH index: probe buckets chosen
+    driver-side via the SHARED :func:`similarity.probe_buckets` (so
+    results equal the in-plan ann_lsh_topk by construction), then a
+    partition-pruned scan of only those buckets with exact cosine
+    re-rank inside."""
+    from sema_spark.functions.vector import cosine
+    from sema_spark.operators.similarity import _qlit, probe_buckets
+
+    dim, num_bits = _lsh_meta(index_dir)
+    buckets = probe_buckets([float(x) for x in qvec], dim, num_bits, probes)
+    return (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .where(F.col("bucket").isin(buckets))
+        .select("vec_id", F.round(cosine(F.col("embedding"), _qlit(qvec)), 6).alias("score"))
+        .orderBy(F.desc("score"), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def lsh_index_ready(index_dir: str) -> bool:
+    return os.path.exists(f"{index_dir}/vectors/_SUCCESS") and os.path.exists(
+        f"{index_dir}/lsh_meta.json"
+    )
+
+
+def compact_lsh_index(spark: SparkSession, index_dir: str) -> None:
+    """Compact to one file per bucket partition (raises if a writer is
+    active)."""
+    with _maintenance_lock(index_dir, wait=False):
+        _compact_table(spark, f"{index_dir}/vectors", partition_by="bucket")
+        _compact_table(spark, f"{index_dir}/ids")
 
 
 # ------------------------------------------------- stored semantic index

@@ -462,3 +462,52 @@ def test_compaction_refuses_while_writer_active(spark, tmp_path):
     finally:
         os.close(fd)
     compact_semantic_index(spark, idx)  # lock released -> succeeds
+
+
+def test_lsh_stored_index_equals_inplan_and_prunes(spark, tmp_path):
+    """Stored hyperplane-LSH index (VERDICT r5 missing #3): answers
+    equal the in-plan ann_lsh_topk (shared probe selection), appends
+    are incremental + idempotent, and the probe scan is partition-
+    pruned on bucket."""
+    from sema_spark.operators.similarity import ann_lsh_topk, build_lsh_index
+    from sema_spark.sources.ann_index import (
+        build_lsh_stored_index,
+        compact_lsh_index,
+        lsh_index_append,
+        lsh_index_ready,
+        lsh_stored_topk,
+    )
+
+    ids, vecs = _blob_data(n=60, dim=6)
+    df = _df(spark, ids, vecs)
+    idx = str(tmp_path / "lsh")
+    assert not lsh_index_ready(idx)
+    build_lsh_stored_index(_df(spark, ids[:40], vecs[:40]), idx, dim=6, num_bits=4)
+    assert lsh_index_ready(idx)
+    assert lsh_index_append(df, idx) == 20
+    assert lsh_index_append(df, idx) == 0  # idempotent
+
+    inplan = build_lsh_index(df, dim=6, num_bits=4)
+    for probes, q in [(1, vecs[0]), (3, vecs[1]), (16, vecs[2])]:
+        qv = [float(x) for x in q]
+        got = [(r.vec_id, r.score) for r in lsh_stored_topk(spark, idx, qv, k=5, probes=probes).collect()]
+        exp = [
+            (r.vec_id, r.score)
+            for r in ann_lsh_topk(inplan, qv, k=5, dim=6, num_bits=4, probes=probes).collect()
+        ]
+        assert got == exp and got
+
+    plan = (
+        lsh_stored_topk(spark, idx, [float(x) for x in vecs[0]], k=5, probes=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "bucket" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+
+    before = [(r.vec_id, r.score) for r in lsh_stored_topk(spark, idx, [float(x) for x in vecs[3]], k=5, probes=4).collect()]
+    compact_lsh_index(spark, idx)
+    after = [(r.vec_id, r.score) for r in lsh_stored_topk(spark, idx, [float(x) for x in vecs[3]], k=5, probes=4).collect()]
+    assert after == before
+    assert spark.read.parquet(f"{idx}/vectors").count() == 60
