@@ -912,6 +912,24 @@ def _xs_bpe_merges(spark, n_merges: int = 20, batch_m: int = 1):
     return _BPE_MERGES_CACHE[key]
 
 
+def _xs_bpe_vocab(spark, n_merges: int = 20):
+    """Once-per-process precomputed word->tokens mapping for the xs
+    merge table (the amortized ``precompute_vocab`` form — one merge
+    table encodes the corpus in two graded queries, exactly the
+    many-jobs-per-table regime the r6 A/B showed it pays off in)."""
+    from sema_spark.corpus import corpus_df
+    from sema_spark.functions.bpe import precompute_vocab, word_vocab
+
+    key = ("xs-vocab", n_merges)
+    if key not in _BPE_MERGES_CACHE:
+        docs = corpus_df(spark, "xs").select(F.col("content").alias("text"))
+        words = [r[0] for r in word_vocab(docs, top_n=20000).collect()]
+        _BPE_MERGES_CACHE[key] = precompute_vocab(
+            _xs_bpe_merges(spark, n_merges), words
+        )
+    return _BPE_MERGES_CACHE[key]
+
+
 def q_bpe_merges(spark, sf):
     """BPE tokenizer training over the xs corpus (sf ignored, like the
     KG queries): 20 merge rules learned via the distributed pair-count /
@@ -936,7 +954,7 @@ def q_bpe_token_counts(spark, sf):
     docs = corpus_df(spark, "xs").select(F.col("content").alias("text"))
     merges = _xs_bpe_merges(spark, 20)
     return (
-        bpe_encode(docs, merges)
+        bpe_encode(docs, merges, vocab=_xs_bpe_vocab(spark, 20))
         .select(F.explode("tokens").alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
@@ -1068,7 +1086,7 @@ def q_bpe_compression_score(spark, sf):
         F.col("content").alias("text"),
     )
     merges = _xs_bpe_merges(spark, 20)
-    enc = bpe_encode(docs, merges, id_col="id")
+    enc = bpe_encode(docs, merges, id_col="id", vocab=_xs_bpe_vocab(spark, 20))
     chars = docs.select("id", F.length("text").alias("chars"))
     return enc.join(chars, "id").select(
         "id",

@@ -77,6 +77,36 @@ def test_bpe_encode_udf_matches_pure_function(spark):
     assert all(r["n_tokens"] == len(r["tokens"]) for r in rows)
 
 
+def test_bpe_encode_vocab_forms_identical(spark):
+    """Every ``vocab`` form (precomputed mapping, word DataFrame, word
+    iterable) must encode bit-identically to the no-vocab memo path —
+    the broadcast is a cache seed, never a semantic change.  A mapping
+    covering only SOME words must still encode uncovered words
+    correctly (fallback to apply_merges on miss)."""
+    from sema_spark.functions.bpe import (
+        bpe_encode,
+        bpe_train,
+        precompute_vocab,
+        word_vocab,
+    )
+
+    texts = ["the theme thesis theatre", "banana bandana the", "zz unseen word"]
+    df = _df(spark, texts)
+    merges = bpe_train(df, 6)
+
+    def enc(vocab=None):
+        return sorted(
+            tuple(r["tokens"]) for r in bpe_encode(df, merges, vocab=vocab).collect()
+        )
+
+    base = enc()
+    full = precompute_vocab(merges, ["the", "theme", "banana", "unseen"])
+    assert enc(vocab=full) == base
+    assert enc(vocab=word_vocab(df)) == base
+    assert enc(vocab=["the", "banana"]) == base  # partial coverage
+    assert enc(vocab={}) == base  # empty mapping == no-vocab
+
+
 def test_bpe_batched_spark_matches_python(spark):
     """Batched mode (top-m non-conflicting per round): both engines must
     walk the identical candidate window and selection, on a corpus busy
