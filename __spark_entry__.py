@@ -1536,89 +1536,44 @@ def _build_registry():
     #      round (nothing is ungraded two consecutive rounds);
     #   3. tools/check_oracles.py still value-checks ALL entries every
     #      round as the secondary signal.
-    # Round 5: IN = the 17 entries past the r4 window (rotated back) +
-    # every r5-changed/new entry.  OUT (all r4-driver-green, UNCHANGED
-    # in r5, return in r6) =
-    # a4_bm25_search, a4_query_parser, f_filters,
-    # a1_window_dedup, j1_anti_join, j3_broadcast_join,
-    # term_mentions, dedup_passages, redact_pii,
-    # stratified_sample, lang_id, quality_score,
-    # triangle_count, kg_label_propagation, tpch_q1_pricing,
-    # sessionization, events_windowed_agg, json_extract,
-    # w1_chunker, u1_encoder, dedup_exact,
-    # dedup_minhash_sha
-    # (22) + dedup_minhash (permanently rows-only — xxhash64 has no
-    # DuckDB form; its sha twin dedup_minhash_sha is hash-gated).
+    # Round 6: IN = the 24 entries past the r5 window (rotated back) +
+    # every r6-changed/new entry (function-level: bpe_encode/vocab,
+    # chunker carry=, curation duplicated_spans/remove_spans/
+    # curation_chain/weighted_interleave, similarity knn_join/LSH,
+    # ann_index.py content-hash + log membership + stored LSH, the
+    # kmeans-expected sidecar keying in this file) + 10 stable fillers.
+    # OUT (26 — ALL r5-driver-green in CORRECTNESS_r05.json, UNCHANGED
+    # in r6, return in r7) =
+    # a4_query_parser_ext, w4_topk, per_group_topk, asof_join,
+    # range_join, quantiles, rollup_counts, pivot_counts, distinct_agg,
+    # set_except, fingerprint, x_sha2, s6_point_lookup,
+    # f6_like_fallback, multimodal_features, kg_degree_hist,
+    # kg_two_hop, kg_kcore, kg_pagerank, j4_connected_components,
+    # bpe_merges, bpe_merges_batched, decontaminate, sequence_packing,
+    # repetition_signals, ngram_jaccard_pairs.
     return {
-        # -- changed or new in round 5: must be under the hard gate --
-        "ann_ivf_stored_topk": q_ann_ivf_stored_topk,  # NEW r5
-        "ann_ivf_incr_topk": q_ann_ivf_incr_topk,  # NEW r5
-        "kmeans_assign": q_kmeans_assign,  # expected-write path reworked r5
-        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # same
-        "repetition_signals": q_repetition_signals,  # single-scan fusion r5
-        "curation_v2": q_curation_v2,  # contains repetition stage
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,  # fallback tier reworked r5
-        "duplicated_spans": q_duplicated_spans,  # NEW r5
+        # -- changed or new in round 6: must be under the hard gate --
         "span_removal": q_span_removal,  # NEW r6 (detect -> cut -> re-detect)
-        "multimodal_real_decode": q_multimodal_real_decode,  # + PNG codec r5
-        "multimodal_resize": q_multimodal_resize,  # NEW r5
-        "multimodal_features": q_multimodal_features,  # shares media corpus
-        # -- rotated back IN (past-window in r4; ADVICE item) --
-        "f3_gitignore": q_f3_gitignore,
-        "a4_query_parser_ext": q_a4_query_parser_ext,
-        "s4_posting_list": q_s4_posting_list,
-        "w4_topk": q_w4_topk,
-        "per_group_topk": q_per_group_topk,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "quantiles": q_quantiles,
-        "rollup_counts": q_rollup_counts,
-        "pivot_counts": q_pivot_counts,
-        "distinct_agg": q_distinct_agg,
-        "set_except": q_set_except,
-        "fingerprint": q_fingerprint,
-        "x_sha2": q_x_sha2,
-        "s6_point_lookup": q_s6_point_lookup,
-        "f6_like_fallback": q_f6_like_fallback,
-        # -- remaining graded slots: flagship / dtype-sensitive work --
-        "dedup_simhash": q_dedup_simhash,
-        "embedding_dedup_lsh": q_embedding_dedup_lsh,
-        "cosine_dup_pairs": q_cosine_dup_pairs,
-        "j2_cosine_topk": q_j2_cosine_topk,
-        "knn_join_topk": q_knn_join_topk,  # NEW r5
-        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_stored_topk": q_ann_lsh_stored_topk,  # NEW r6 (stored LSH)
-        "bpe_merges": q_bpe_merges,
-        "bpe_merges_batched": q_bpe_merges_batched,
-        "bpe_token_counts": q_bpe_token_counts,
-        "bpe_compression_score": q_bpe_compression_score,
-        "kg_pipeline_triples": q_kg_pipeline_triples,
-        "kg_pipeline_edges": q_kg_pipeline_edges,
-        "kg_degree_hist": q_kg_degree_hist,
-        "kg_two_hop": q_kg_two_hop,
-        "kg_kcore": q_kg_kcore,
-        "kg_pagerank": q_kg_pagerank,
-        "j4_connected_components": q_j4_connected_components,
-        "semantic_search": q_semantic_search,
-        "semantic_search_stored": q_semantic_search_stored,  # NEW r5
-        "semantic_search_ann": q_semantic_search_ann,  # NEW r5
-        # decontaminate calls the r5-refactored _word_ngrams (pure
-        # extraction, expression identical) — transitively-touched code
-        # stays under the gate too
-        "decontaminate": q_decontaminate,
-        # sequence_packing / weighted_interleave gained pass-through
-        # params this round (carry= / keep_cols=; defaults preserve the
-        # graded behavior exactly) — changed code stays under the gate
-        "sequence_packing": q_sequence_packing,
-        "weighted_interleave": q_weighted_interleave,
-        # ---------------- position 50 boundary -----------------------
+        "knn_join_topk": q_knn_join_topk,  # salted two-phase top-k r6
+        "duplicated_spans": q_duplicated_spans,  # occ materialized r6
+        "curation_v2": q_curation_v2,  # curation_chain: remove_spans stage + weight contract r6
+        "weighted_interleave": q_weighted_interleave,  # weight contract r6
+        "bpe_token_counts": q_bpe_token_counts,  # broadcast-vocab path r6
+        "bpe_compression_score": q_bpe_compression_score,  # same
+        "semantic_search": q_semantic_search,  # chunk_files carry= in path
+        "semantic_search_stored": q_semantic_search_stored,  # content-hash maintenance r6
+        "semantic_search_ann": q_semantic_search_ann,  # ann_index.py reworked r6
+        "ann_ivf_stored_topk": q_ann_ivf_stored_topk,  # log-based membership r6
+        "ann_ivf_incr_topk": q_ann_ivf_incr_topk,  # same
+        "kmeans_assign": q_kmeans_assign,  # expected-sidecar keying r6
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,  # same
+        "ann_ivf_topk": q_ann_ivf_topk,  # same
+        # -- rotated back IN (past-window in r5; r4-driver-green) --
         "curation_pipeline": q_curation_pipeline,
         "a4_bm25_search": q_a4_bm25_search,
         "a4_query_parser": q_a4_query_parser,
         "f_filters": q_f_filters,
-        # ALL of the below were driver-graded GREEN in round 4
-        # (CORRECTNESS_r04.json) and rotate back into the window in
-        # round 6; simulator-checked meanwhile.
         "a1_window_dedup": q_a1_window_dedup,
         "j1_anti_join": q_j1_anti_join,
         "j3_broadcast_join": q_j3_broadcast_join,
@@ -1634,13 +1589,54 @@ def _build_registry():
         "sessionization": q_sessionization,
         "events_windowed_agg": q_events_windowed_agg,
         "json_extract": q_json_extract,
-        "w1_chunker": q_w1_chunker,
+        "w1_chunker": q_w1_chunker,  # also carry= signature change r6
         "u1_encoder": q_u1_encoder,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sha": q_dedup_minhash_sha,
         # permanently rows-only (xxhash64 not DuckDB-expressible); its
-        # sha twin dedup_minhash_sha proves the identical pipeline above
+        # sha twin dedup_minhash_sha proves the identical pipeline
         "dedup_minhash": q_dedup_minhash,
+        # -- stable fillers (r5-green): flagship / dtype-sensitive --
+        "kg_pipeline_triples": q_kg_pipeline_triples,
+        "kg_pipeline_edges": q_kg_pipeline_edges,
+        "dedup_simhash": q_dedup_simhash,
+        "embedding_dedup_lsh": q_embedding_dedup_lsh,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "j2_cosine_topk": q_j2_cosine_topk,
+        "multimodal_real_decode": q_multimodal_real_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "f3_gitignore": q_f3_gitignore,
+        "s4_posting_list": q_s4_posting_list,
+        # ---------------- position 50 boundary -----------------------
+        # ALL of the below were driver-graded GREEN in round 5
+        # (CORRECTNESS_r05.json), are untouched in round 6, and rotate
+        # back into the window in round 7; simulator-checked meanwhile.
+        "a4_query_parser_ext": q_a4_query_parser_ext,
+        "w4_topk": q_w4_topk,
+        "per_group_topk": q_per_group_topk,
+        "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "quantiles": q_quantiles,
+        "rollup_counts": q_rollup_counts,
+        "pivot_counts": q_pivot_counts,
+        "distinct_agg": q_distinct_agg,
+        "set_except": q_set_except,
+        "fingerprint": q_fingerprint,
+        "x_sha2": q_x_sha2,
+        "s6_point_lookup": q_s6_point_lookup,
+        "f6_like_fallback": q_f6_like_fallback,
+        "multimodal_features": q_multimodal_features,
+        "kg_degree_hist": q_kg_degree_hist,
+        "kg_two_hop": q_kg_two_hop,
+        "kg_kcore": q_kg_kcore,
+        "kg_pagerank": q_kg_pagerank,
+        "j4_connected_components": q_j4_connected_components,
+        "bpe_merges": q_bpe_merges,
+        "bpe_merges_batched": q_bpe_merges_batched,
+        "decontaminate": q_decontaminate,
+        "sequence_packing": q_sequence_packing,
+        "repetition_signals": q_repetition_signals,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     }
 
 
