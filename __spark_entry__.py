@@ -430,6 +430,23 @@ def q_a4_query_parser_ext(spark, sf):
     )
 
 
+def q_a4_phrase_slop(spark, sf):
+    """A4/entry-C parser micro-tail (round 6 — the last documented
+    parser gap, /root/reference/src/storage/text_indexer.rs:81-82 via
+    tantivy's QueryParser): phrase slop (``"hash join"~2`` — in-order
+    within a 2-token gap budget, transposed allowed at cost 2,
+    Lucene-exact for 2-word phrases), an excluded phrase
+    (``-"sort key"``), and a fuzzy exclusion (``-vector~1``).  Both
+    engines run the IDENTICAL slop regex (built once by
+    ``search.slop_pattern`` and embedded into the oracle), so the gate
+    covers the pattern construction itself, not just the semantics."""
+    from sema_spark.operators.search import bm25_search
+
+    return bm25_search(
+        _docs(spark, sf), '"hash join"~2 -"sort key" -vector~1', k=QUERY_LIMIT_K
+    )
+
+
 def q_s6_point_lookup(spark, sf):
     return _docs(spark, sf).filter(F.col("doc_id") == 42).select("doc_id", "source", "n_chars").limit(1)
 
@@ -1541,10 +1558,11 @@ def _build_registry():
     # chunker carry=, curation duplicated_spans/remove_spans/
     # curation_chain/weighted_interleave, similarity knn_join/LSH,
     # ann_index.py content-hash + log membership + stored LSH, the
-    # kmeans-expected sidecar keying in this file) + 10 stable fillers.
-    # OUT (26 — ALL r5-driver-green in CORRECTNESS_r05.json, UNCHANGED
+    # a4_phrase_slop parser tail, the kmeans-expected sidecar keying in
+    # this file) + 9 stable fillers.
+    # OUT (27 — ALL r5-driver-green in CORRECTNESS_r05.json, UNCHANGED
     # in r6, return in r7) =
-    # a4_query_parser_ext, w4_topk, per_group_topk, asof_join,
+    # s4_posting_list, a4_query_parser_ext, w4_topk, per_group_topk, asof_join,
     # range_join, quantiles, rollup_counts, pivot_counts, distinct_agg,
     # set_except, fingerprint, x_sha2, s6_point_lookup,
     # f6_like_fallback, multimodal_features, kg_degree_hist,
@@ -1555,6 +1573,7 @@ def _build_registry():
         # -- changed or new in round 6: must be under the hard gate --
         "span_removal": q_span_removal,  # NEW r6 (detect -> cut -> re-detect)
         "ann_lsh_stored_topk": q_ann_lsh_stored_topk,  # NEW r6 (stored LSH)
+        "a4_phrase_slop": q_a4_phrase_slop,  # NEW r6 (parser micro-tail)
         "knn_join_topk": q_knn_join_topk,  # salted two-phase top-k r6
         "duplicated_spans": q_duplicated_spans,  # occ materialized r6
         "curation_v2": q_curation_v2,  # curation_chain: remove_spans stage + weight contract r6
@@ -1606,11 +1625,14 @@ def _build_registry():
         "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_resize": q_multimodal_resize,
         "f3_gitignore": q_f3_gitignore,
-        "s4_posting_list": q_s4_posting_list,
         # ---------------- position 50 boundary -----------------------
         # ALL of the below were driver-graded GREEN in round 5
         # (CORRECTNESS_r05.json), are untouched in round 6, and rotate
         # back into the window in round 7; simulator-checked meanwhile.
+        # (s4_posting_list ceded its filler slot to the NEW
+        # a4_phrase_slop — it is r5-green and untouched, so it is
+        # out-eligible under rule 2.)
+        "s4_posting_list": q_s4_posting_list,
         "a4_query_parser_ext": q_a4_query_parser_ext,
         "w4_topk": q_w4_topk,
         "per_group_topk": q_per_group_topk,
@@ -1671,6 +1693,12 @@ def oracle_sql() -> dict[str, str]:
     except Exception:
         kmeans_family_ok = False
         KM_DIR = "/tmp/sema_expected_kmeans/unavailable"
+
+    # the a4_phrase_slop oracle embeds the SAME rendered pattern the
+    # Spark operator compiles — the gate then covers slop_pattern itself
+    from sema_spark.operators.search import slop_pattern
+
+    _SLOP_PAT_HASH_JOIN = slop_pattern(["hash", "join"], 2)
 
     # dedup_minhash_sha oracle: the permutation coefficients and banding
     # are generated from the same deterministic source the operator uses
@@ -1893,6 +1921,47 @@ def oracle_sql() -> dict[str, str]:
               cross join stats s cross join avg_dl a
               where p.term in ('spark','join'))
             group by doc_id order by bm25 desc, doc_id limit {QUERY_LIMIT_K}
+        """,
+        "a4_phrase_slop": f"""
+            -- r6 parser micro-tail: slop regex IDENTICAL to the Spark
+            -- side (both render search.slop_pattern(['hash','join'],2)),
+            -- excluded phrase by token adjacency, fuzzy exclusion via
+            -- levenshtein.  Fold = (0 + s_hash) + s_join
+            -- (lexicographic term order, fp-identical).
+            with toks as (
+              select doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') as t
+              from documents),
+            feat as (
+              select doc_id, len(t) as dl,
+                     len(list_filter(t, x -> x = 'hash')) as tf_hash,
+                     len(list_filter(t, x -> x = 'join')) as tf_join,
+                     regexp_matches(' ' || array_to_string(t, ' ') || ' ',
+                                    '{_SLOP_PAT_HASH_JOIN}') as has_ph,
+                     contains(' ' || array_to_string(t, ' ') || ' ',
+                              ' sort key ') as has_sortkey,
+                     len(list_filter(t, x -> levenshtein(x, 'vector') <= 1)) > 0
+                       as has_fuzzy_vector
+              from toks),
+            stats as (
+              select count(*) as n_docs,
+                     sum(dl)::double / count(*) as avgdl,
+                     sum(case when tf_hash > 0 then 1 else 0 end) as df_hash,
+                     sum(case when tf_join > 0 then 1 else 0 end) as df_join
+              from feat)
+            select doc_id,
+                   round(
+                     (ln((n_docs - df_hash + 0.5) / (df_hash + 0.5) + 1.0)
+                        * (tf_hash * 2.2)
+                        / (tf_hash + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+                   + (ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1.0)
+                        * (tf_join * 2.2)
+                        / (tf_join + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) as score
+            from feat cross join stats
+            where has_ph and not has_sortkey and not has_fuzzy_vector
+              and (tf_hash > 0 or tf_join > 0)
+            order by score desc, doc_id limit {QUERY_LIMIT_K}
         """,
         "a4_query_parser_ext": f"""
             -- parser tail: fuzzy tf/df via levenshtein <= 1, boost x2

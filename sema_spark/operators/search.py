@@ -19,10 +19,22 @@ commonly-used subset over the posting-list plan:
   tantivy) match for both tf and the required check (round 3);
 * ``field:value`` — field-scoped term, applied as an equality filter on
   that document column (the reference's per-field index degenerates to
-  a metadata filter when only one text field exists) (round 3).
-
-Still not modeled (documented): phrase slop ``"a b"~2``, modifiers on
-excluded terms.
+  a metadata filter when only one text field exists) (round 3);
+* ``"a b"~2`` — phrase slop (round 6): matches when the phrase words
+  appear IN ORDER with at most ``slop`` total intervening tokens
+  (Lucene/tantivy's cost model for in-order matches), verified by a
+  pure-codegen regex over the space-joined token string — the gap
+  budget is enumerated into an alternation (`slop_pattern`), shared
+  verbatim with the DuckDB oracle (RE2-safe).  Two-word phrases also
+  match TRANSPOSED when ``slop ≥ 2`` (Lucene charges 2 for the swap),
+  making them Lucene-exact; out-of-order matches of ≥3-word phrases
+  are NOT modeled (documented divergence — the in-order tier is the
+  semantics every practical slop query relies on);
+* ``-"a b"`` / ``-"a b"~1`` — excluded (sloppy) phrase (round 6);
+* ``-term~1`` — fuzzy exclusion (round 6): docs containing any token
+  within the edit distance are dropped.  Boosts on exclusions parse
+  but have no effect (exclusion clauses never score — same in
+  tantivy); modifiers on ``-field:value`` are likewise inert.
 
 Plan shape (round 3, genuinely single-pass): the query's terms are a
 small fixed set, so per-doc term frequencies are computed straight off
@@ -46,7 +58,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_TOKEN = re.compile(r'"([^"]*)"|(\S+)')
+_TOKEN = re.compile(r'([+-]?)"([^"]*)"(?:~(\d+))?|(\S+)')
 _WORD = re.compile(r"[a-z0-9]+")
 
 K1 = 1.2
@@ -72,8 +84,13 @@ class ParsedQuery:
     reference hands these to tantivy's per-field index; with a single
     indexed text field, non-default fields act as metadata filters);
     ``scoped_not`` carries ``-field:value`` exclusions.
-    Not modeled (documented): phrase slop ``"a b"~2``, fuzzy/boost on
-    excluded terms."""
+
+    Round 6: ``phrase_slops`` carries the ``"a b"~n`` slop per required
+    phrase (phrases themselves stay in ``phrases`` so their words keep
+    scoring, exactly like zero-slop phrases); ``phrases_not`` carries
+    excluded phrases as (phrase, slop) pairs; ``fuzzy`` now also covers
+    ``-term~n`` exclusions.  Boost on an exclusion parses but is
+    discarded (no scoring clause to multiply — same in tantivy)."""
 
     should: tuple[str, ...]
     must: tuple[str, ...]
@@ -83,6 +100,8 @@ class ParsedQuery:
     fuzzy: tuple[tuple[str, int], ...] = ()
     scoped: tuple[tuple[str, str], ...] = ()
     scoped_not: tuple[tuple[str, str], ...] = ()
+    phrase_slops: tuple[tuple[str, int], ...] = ()
+    phrases_not: tuple[tuple[str, int], ...] = ()
 
     @property
     def scored_terms(self) -> tuple[str, ...]:
@@ -100,13 +119,54 @@ class ParsedQuery:
     def fuzzy_of(self, term: str) -> int:
         return dict(self.fuzzy).get(term, 0)
 
+    def phrase_slop_of(self, phrase: str) -> int:
+        return dict(self.phrase_slops).get(phrase, 0)
+
+
+def slop_pattern(words: list[str], slop: int) -> str:
+    """Regex matching ``words`` in order over the sentinel-wrapped
+    space-joined token string, with at most ``slop`` intervening tokens
+    in total (Lucene's in-order cost = sum of gaps).  The gap budget is
+    enumerated into an explicit alternation — every branch is plain
+    concatenation + bounded repetition, so the pattern is pure
+    whole-stage codegen on Spark AND RE2-safe for the DuckDB oracle
+    (which embeds the IDENTICAL string).  Two-word phrases add the
+    transposed branch when ``slop >= 2`` (Lucene charges 2 for the
+    swap), making them Lucene-exact; branch count is C(slop+m-2, m-2)
+    — a query whose phrase would expand past 1000 branches raises
+    (author error, not a data condition)."""
+    if len(words) == 1:
+        return f" {words[0]} "
+    branches: list[str] = []
+
+    def rec(i: int, budget: int, acc: str) -> None:
+        if len(branches) > 1000:
+            raise ValueError(
+                f"phrase slop too large to expand: {words!r} with slop {slop}"
+            )
+        if i == len(words) - 2:
+            gap = f"(?: [^ ]+){{0,{budget}}}" if budget else ""
+            branches.append(acc + gap + f" {words[-1]} ")
+            return
+        for g in range(budget + 1):
+            gap = f"(?: [^ ]+){{{g}}}" if g else ""
+            rec(i + 1, budget - g, acc + gap + f" {words[i + 1]}")
+
+    rec(0, slop, f" {words[0]}")
+    if len(words) == 2 and slop >= 2:
+        b = slop - 2
+        gap = f"(?: [^ ]+){{0,{b}}}" if b else ""
+        branches.append(f" {words[1]}" + gap + f" {words[0]} ")
+    return "|".join(branches)
+
 
 def parse_query(q: str) -> ParsedQuery:
     """Parse the tantivy-ish subset; terms are lowercased alnum runs.
 
-    Modifiers: ``+term`` required, ``-term`` excluded, ``"a b"`` phrase,
-    ``term^2`` boost, ``term~1`` fuzzy (Levenshtein ≤ n, default 1,
-    capped at 2 like tantivy), ``field:value`` field-scoped."""
+    Modifiers: ``+term`` required, ``-term`` excluded, ``"a b"`` phrase
+    (``-"a b"`` excluded, ``"a b"~2`` sloppy — r6), ``term^2`` boost,
+    ``term~1`` fuzzy (Levenshtein ≤ n, default 1, capped at 2 like
+    tantivy; also on exclusions — r6), ``field:value`` field-scoped."""
     should: list[str] = []
     must: list[str] = []
     must_not: list[str] = []
@@ -115,17 +175,26 @@ def parse_query(q: str) -> ParsedQuery:
     fuzzy: dict[str, int] = {}
     scoped: list[tuple[str, str]] = []
     scoped_not: list[tuple[str, str]] = []
+    phrase_slops: dict[str, int] = {}
+    phrases_not: dict[str, int] = {}
 
     def words(s: str) -> list[str]:
         return _WORD.findall(s.lower())
 
     for m in _TOKEN.finditer(q):
-        if m.group(1) is not None:
-            ph = " ".join(words(m.group(1)))
-            if ph:
+        if m.group(2) is not None:
+            ph = " ".join(words(m.group(2)))
+            if not ph:
+                continue
+            slop = int(m.group(3)) if m.group(3) else 0
+            if m.group(1) == "-":
+                phrases_not[ph] = slop
+            else:
                 phrases.append(ph)
+                if slop:
+                    phrase_slops[ph] = slop
             continue
-        tok = m.group(2)
+        tok = m.group(4)
         target = should
         if tok.startswith("+"):
             target, tok = must, tok[1:]
@@ -153,14 +222,17 @@ def parse_query(q: str) -> ParsedQuery:
             continue
         for w in words(tok):
             target.append(w)
+            # boost on an exclusion parses but is inert (nothing to
+            # score); fuzzy on an exclusion widens the drop (r6)
             if boost is not None and target is not must_not:
                 boosts[w] = boost
-            if dist is not None and target is not must_not:
+            if dist is not None:
                 fuzzy[w] = dist
     return ParsedQuery(
         tuple(should), tuple(must), tuple(must_not), tuple(phrases),
         tuple(boosts.items()), tuple(fuzzy.items()), tuple(scoped),
-        tuple(scoped_not),
+        tuple(scoped_not), tuple(phrase_slops.items()),
+        tuple(phrases_not.items()),
     )
 
 
@@ -177,6 +249,14 @@ def _has_phrase(toks, words: list[str]):
     slower (interpreted lambdas over every token of every doc)."""
     tokstr = F.concat(F.lit(" "), F.concat_ws(" ", toks), F.lit(" "))
     return tokstr.contains(" " + " ".join(words) + " ")
+
+
+def _has_phrase_slop(toks, words: list[str], slop: int):
+    """In-order sloppy phrase match over the same token string — one
+    rlike against the shared :func:`slop_pattern` (codegen; the DuckDB
+    oracle runs the identical pattern)."""
+    tokstr = F.concat(F.lit(" "), F.concat_ws(" ", toks), F.lit(" "))
+    return tokstr.rlike(slop_pattern(words, slop))
 
 
 def _tf_count(toks, term: str, fuzzy: int = 0):
@@ -215,9 +295,22 @@ def bm25_search(
     toks = _tokens(text_col)
     keep = F.lit(True)
     for ph in pq.phrases:  # required phrases: token-adjacency verify
-        keep = keep & _has_phrase(toks, ph.split(" "))
+        slop = pq.phrase_slop_of(ph)
+        if slop:
+            keep = keep & _has_phrase_slop(toks, ph.split(" "), slop)
+        else:
+            keep = keep & _has_phrase(toks, ph.split(" "))
+    for ph, slop in pq.phrases_not:  # excluded (sloppy) phrases (r6)
+        if slop:
+            keep = keep & ~_has_phrase_slop(toks, ph.split(" "), slop)
+        else:
+            keep = keep & ~_has_phrase(toks, ph.split(" "))
     for t in pq.must_not:
-        keep = keep & ~F.array_contains(toks, F.lit(t))
+        d = pq.fuzzy_of(t)  # fuzzy exclusion widens the drop (r6)
+        if d:
+            keep = keep & (_tf_count(toks, t, d) == 0)
+        else:
+            keep = keep & ~F.array_contains(toks, F.lit(t))
     for t in pq.must:  # fuzzy must-terms require a fuzzy match
         keep = keep & (_tf_count(toks, t, pq.fuzzy_of(t)) > 0)
     for field, value in pq.scoped:

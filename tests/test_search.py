@@ -135,3 +135,55 @@ def test_bm25_scoped_exclusion_filters(spark):
     got = {r["doc_id"] for r in bm25_search(docs, "spark -lang:en", k=10).collect()}
     # en excluded; de kept; NULL lang must survive the exclusion
     assert got == {2, 3}
+
+
+def test_parse_query_phrase_slop_and_exclusion_modifiers():
+    from sema_spark.operators.search import parse_query
+
+    pq = parse_query('"hash join"~2 -"sort key" -"a b"~1 -merge~1 +"win agg" -spark^2')
+    assert pq.phrases == ("hash join", "win agg")  # +"..." same as bare
+    assert dict(pq.phrase_slops) == {"hash join": 2}
+    assert pq.phrase_slop_of("win agg") == 0
+    assert dict(pq.phrases_not) == {"sort key": 0, "a b": 1}
+    assert pq.must_not == ("merge", "spark")
+    assert pq.fuzzy_of("merge") == 1
+    assert pq.boost_of("spark") == 1.0  # boost on exclusion is inert
+    # excluded phrase words never score
+    assert "sort" not in pq.scored_terms and "hash" in pq.scored_terms
+
+
+def test_slop_pattern_semantics():
+    import re
+
+    from sema_spark.operators.search import slop_pattern
+
+    p = slop_pattern(["a", "b"], 2)
+    assert re.search(p, " a b ") and re.search(p, " a x y b ")
+    assert re.search(p, " b a ")  # transposition costs 2 (Lucene)
+    assert not re.search(p, " a x y z b ") and not re.search(p, " b x a ")
+    assert not re.search(slop_pattern(["a", "b"], 1), " b a ")
+    p3 = slop_pattern(["a", "b", "c"], 2)  # total gap budget is SHARED
+    assert re.search(p3, " a x b y c ") and not re.search(p3, " a x y b z c ")
+    import pytest
+
+    with pytest.raises(ValueError):
+        slop_pattern(list("abcdefgh"), 9)  # >1000 branches
+
+
+def test_bm25_phrase_slop_and_exclusions(spark):
+    from sema_spark.operators.search import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join win"),            # adjacent
+            (2, "hash x y join win"),        # gap 2 → slop ok
+            (3, "hash x y z join win"),      # gap 3 → dropped
+            (4, "join hash win"),            # transposed, cost 2 → ok
+            (5, "hash join sort key win"),   # excluded phrase → dropped
+            (6, "hash join vectors win"),    # lev(vectors,vector)=1 → dropped
+            (7, "hash join sort win key"),   # 'sort key' not adjacent → kept
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, '"hash join"~2 -"sort key" -vector~1', k=10)
+    assert {r.doc_id for r in out.collect()} == {1, 2, 4, 7}
