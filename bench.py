@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "kg_label_propagation",
     # round 5
     "duplicated_spans",
+    # round 6: detect -> cut -> re-detect (contains duplicated_spans
+    # twice, so its line is NOT comparable to duplicated_spans alone)
+    "span_removal",
 ]
 
 # Standalone pinned throughput from tools/bench_scaling.py (best-of-4,
@@ -74,6 +77,11 @@ BENCH_QUERIES = [
 # attempt saw 358-1819 steal jiffies/run (~2-10%), so per the
 # only-re-pin-on-a-cleaner-window rule the r4 pin stands; extraction
 # itself is unchanged-or-faster (bench kg_extract 2.66s -> 2.61s).
+# Round 6 re-measured 733,682 at 3 steal jiffies (the cleanest window
+# since the pin; bench kg_extract 2.31s, live tps 726,589 at 0.0%
+# steal) — within 5% of the pin and NOT from a cleaner window (3 > 2
+# jiffies), so the pin stands again; treat ~730-770k as the machine's
+# clean-day band.
 PINNED_TRIPLES_PER_SEC = 770_000
 
 
