@@ -240,9 +240,26 @@ def main() -> int:
     return 0 if report["pass"] and creport["pass"] else 1
 
 
+HAND_MARKER = "<!-- HAND-MAINTAINED BELOW: bench_scaling.py preserves everything after this line -->"
+
+
 def write_baseline(report, creport, lo, hi, clo, chi, low, high, scale):
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+    path = f"{REPO}/BENCH/BASELINE.md"
+    # everything below the marker is hand-maintained (per-round bench
+    # sections, A/Bs, e2e drives) and survives regeneration — the r6
+    # lesson: the round-6 kNN A/B and e2e sections were silently
+    # clobbered by a wholesale rewrite
+    tail = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        if HAND_MARKER in old:
+            tail = old.split(HAND_MARKER, 1)[1]
+        else:
+            print("warning: no hand-maintained marker in existing BASELINE.md;"
+                  " sections below the generated block are NOT preserved")
+    with open(path, "w") as f:
         f.write(
             f"""# BENCH baseline — measured on this sandbox
 
@@ -326,26 +343,6 @@ fastest run.
   round 3 (e.g. decontaminate 3.57->0.82s after _spread, tpch_q1
   1.22->0.95s).
 
-## Stored ANN index amortization (round 5)
-
-bench.py times the persisted IVF index (`sources/ann_index.py`) as two
-line items at sf0.1: `ann_ivf_index_build` ~7-8s (quantizer training +
-cluster-partitioned corpus write — paid ONCE per corpus version) vs
-`ann_ivf_stored_query` ~0.5s (driver-side probe pick + partition-pruned
-scan, no retrain) — a ~15x amortization that only widens with corpus
-size, since the query reads probes/k of the data while the in-plan
-operator (`ann_ivf_kmeans_topk`) re-trains on all of it per call.
-
-## Measured negative result: ngram est-tier removal (round 5)
-
-The fallback (large-gram-universe) path of `ngram_jaccard_pairs` keeps
-its interpreted minhash est-filter ON MEASUREMENT: forced-fallback at
-sf0.1 (best-of-3) runs 11.6s with est, 15.8s without (+36%), 11.6s with
-a size-prune-before-est hybrid.  est kills 5.23M -> 1.66M pairs at 64
-interpreted ops each — cheaper than the ~|G|-element array_intersect it
-saves; the size-ratio prune alone only reaches 3.24M.  Numbers also in
-the operator docstring.
-
 ## Why the job scales
 
 Stage 1 is one narrow map (scan -> sha2 -> regex banks in whole-stage
@@ -359,26 +356,8 @@ serialize CPU-bound stages (measured: 78MB coalesced to ~2 tasks).
 
 Reproduce: `python tools/bench_scaling.py {low} {high} {scale}`
 
-## Materialize-mode cost (4-stage pipeline e2e, benchxl corpus)
-
-Measured 2026-08-16 (round 3), warm JVM, local[32], alternating runs:
-`local` (localCheckpoint, sandbox default) ~100s; `persist`
-(MEMORY_AND_DISK, recomputable — the cluster default) ~124s (+24%).
-The delta is the price of recomputable lineage over truncated plans;
-`reliable` (durable checkpoint()) sits above `persist` and is for
-multi-hour jobs.  Reproduce: run run_pipeline over
-/tmp/sema_bench_corpus_benchxl under SPARK_GRAFT_MATERIALIZE.
-
-## BPE training: batched merge rounds (rounds vs batch_m, xs corpus)
-
-Measured 2026-08-17 (round 4), warm JVM, local[8], 40 merges over the
-xs corpus (`functions/bpe.bpe_train`): `batch_m=1` (graded reference
-mode) 40 rounds / 14.9s; `batch_m=4` 10 rounds / 3.4s; `batch_m=8`
-5 rounds / 2.3s — Spark == pure-Python oracle at every m (the
-non-conflicting top-m selection is shared logic).  Round count is the
-scale lever: a production 32k-merge vocabulary needs ~32k/m shuffle
-rounds instead of 32k.
-"""
+{HAND_MARKER}"""
+            + (tail if tail else "\n")
         )
 
 
