@@ -855,6 +855,106 @@ def q_kg_pipeline_edges(spark, sf):
     return _KG_EDGES_CACHE[key]
 
 
+_KG_INCR_CACHE: dict[str, DataFrame] = {}
+
+_STALE_CONTENT = (
+    '"""stale draft of this module — superseded by wave 2."""\n'
+    "\n\ndef stale_zombie_fn(x):\n    return x\n"
+    "\n\ndef stale_zombie_fn2(x):\n    y = stale_zombie_fn(x)\n    return y\n"
+)
+_ZOMBIE_CONTENT = (
+    '"""temporary scratch file — tombstoned before the final build."""\n'
+    "\n\ndef doomed_tombstone_fn(x):\n    return x\n"
+)
+
+
+def q_kg_incremental_rebuild(spark, sf):
+    """North-star resumability under the hash gate: the full 4-stage
+    pipeline (plans/pipeline.run_pipeline) driven INCREMENTALLY against
+    a checkpoint base must land on the EXACT edge set of a from-scratch
+    build.  Three waves over the xs corpus:
+
+      wave 1: a quarter of the files run through the STAGE-1 increment
+              only, one of them at a STALE content (defines
+              stale_zombie_fn — triples that must not survive) plus an
+              extra scratch file (doomed_tombstone_fn);
+      delete: the scratch file is tombstoned (S7 delete_files);
+      wave 2: the full pipeline over the true corpus — the stale file
+              re-extracts via the (repo, path, content_sha) anti-join,
+              the other wave-1 files SKIP (already checkpointed at
+              their current sha), and the downstream snapshots draw
+              stage-1 rows from BOTH runs' data files while the
+              superseded and tombstoned rows must vanish in
+              read_stage_output's semi-join;
+      wave 3: a no-op re-run that must skip all four stages (raises
+              RuntimeError into the grade if any stage does work).
+
+    Oracle: identical to kg_pipeline_edges (corpus.expected_edges) — so
+    supersede (stale triples gone), tombstones (scratch triples gone),
+    snapshot fingerprint skips, and read_stage_output's orphan semi-join
+    are all value-gated, not just pytest-gated.  (Wave 1 deliberately
+    does NOT run the snapshot stages on the partial corpus: they gate
+    nothing wave 2 doesn't recompute, and skipping them keeps the query
+    ~35 s instead of ~65; snapshot regeneration-on-upstream-change stays
+    pytest-gated in test_checkpoint.)  Reference parity: the watcher's
+    skip / re-index / remove branches
+    (/root/reference/src/storage/mod.rs:30-52)."""
+    key = spark.sparkContext.applicationId
+    if key not in _KG_INCR_CACHE:
+        import shutil
+
+        from sema_spark.corpus import FileRow, generate_corpus
+        from sema_spark.operators.mentions import (
+            extract_triples,
+            salted_repartition,
+            with_content_sha,
+        )
+        from sema_spark.plans.materialize import materialize
+        from sema_spark.plans.pipeline import read_edges, run_pipeline
+        from sema_spark.schemas import REPOS
+        from sema_spark.sources.checkpoint import delete_files, run_incremental_stage
+
+        rows, _ = generate_corpus("xs")
+        # deterministic choices: stale = first python file, zombie lives
+        # in that file's repo
+        stale_i = next(i for i, r in enumerate(rows) if r.lang == "py")
+        zombie = FileRow(
+            rows[stale_i].repo, "src/zombie_tmp.py", rows[stale_i].commit, "py", _ZOMBIE_CONTENT
+        )
+        wave1 = [
+            (FileRow(r.repo, r.path, r.commit, r.lang, _STALE_CONTENT) if i == stale_i else r)
+            for i, r in enumerate(rows)
+            if i % 4 == 0 or i == stale_i
+        ] + [zombie]
+
+        # tiny (<1 MB), wiped on entry; tmpfs because sandbox /tmp is a
+        # slow serial virtual disk (BENCH/BASELINE.md)
+        base = f"/dev/shm/sema_kg_incr_{key}"
+        shutil.rmtree(base, ignore_errors=True)
+        src1 = with_content_sha(spark.createDataFrame([r.__dict__ for r in wave1], REPOS))
+        run_incremental_stage(
+            spark, src1, "triples", base, lambda p: extract_triples(salted_repartition(p, None))
+        )
+        delete_files(
+            spark,
+            base,
+            "triples",
+            spark.createDataFrame([(zombie.repo, zombie.path)], "repo string, path string"),
+        )
+        src2 = spark.createDataFrame([r.__dict__ for r in rows], REPOS)
+        run_pipeline(spark, src2, base)
+        r3 = run_pipeline(spark, src2, base)
+        if r3.any_work:
+            raise RuntimeError(
+                "incremental pipeline failed to skip a no-op re-run: "
+                + str([(s.stage, s.skipped) for s in (r3.triples, r3.linked, r3.nodes, r3.edges)])
+            )
+        _KG_INCR_CACHE[key] = (
+            read_edges(spark, base).select("src", "pred", "dst").distinct().transform(materialize)
+        )
+    return _KG_INCR_CACHE[key]
+
+
 def q_kg_degree_hist(spark, sf):
     """Graph analytics over the pipeline output: out-degree histogram of
     the canonical edge set; oracle = the same SQL over the
@@ -1559,8 +1659,8 @@ def _build_registry():
     # curation_chain/weighted_interleave, similarity knn_join/LSH,
     # ann_index.py content-hash + log membership + stored LSH, the
     # a4_phrase_slop parser tail, the kmeans-expected sidecar keying in
-    # this file) + 9 stable fillers.
-    # OUT (27 — ALL r5-driver-green in CORRECTNESS_r05.json, UNCHANGED
+    # this file, the NEW kg_incremental_rebuild) + 8 stable fillers.
+    # OUT (28 — ALL r5-driver-green in CORRECTNESS_r05.json, UNCHANGED
     # in r6, return in r7) =
     # s4_posting_list, a4_query_parser_ext, w4_topk, per_group_topk, asof_join,
     # range_join, quantiles, rollup_counts, pivot_counts, distinct_agg,
@@ -1568,9 +1668,10 @@ def _build_registry():
     # f6_like_fallback, multimodal_features, kg_degree_hist,
     # kg_two_hop, kg_kcore, kg_pagerank, j4_connected_components,
     # bpe_merges, bpe_merges_batched, decontaminate, sequence_packing,
-    # repetition_signals, ngram_jaccard_pairs.
+    # repetition_signals, ngram_jaccard_pairs, f3_gitignore.
     return {
         # -- changed or new in round 6: must be under the hard gate --
+        "kg_incremental_rebuild": q_kg_incremental_rebuild,  # NEW r6 (checkpoint-resume under the hash gate)
         "span_removal": q_span_removal,  # NEW r6 (detect -> cut -> re-detect)
         "ann_lsh_stored_topk": q_ann_lsh_stored_topk,  # NEW r6 (stored LSH)
         "a4_phrase_slop": q_a4_phrase_slop,  # NEW r6 (parser micro-tail)
@@ -1624,14 +1725,15 @@ def _build_registry():
         "j2_cosine_topk": q_j2_cosine_topk,
         "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_resize": q_multimodal_resize,
-        "f3_gitignore": q_f3_gitignore,
         # ---------------- position 50 boundary -----------------------
         # ALL of the below were driver-graded GREEN in round 5
         # (CORRECTNESS_r05.json), are untouched in round 6, and rotate
         # back into the window in round 7; simulator-checked meanwhile.
         # (s4_posting_list ceded its filler slot to the NEW
-        # a4_phrase_slop — it is r5-green and untouched, so it is
+        # a4_phrase_slop, f3_gitignore ceded its slot to the NEW
+        # kg_incremental_rebuild — both r5-green and untouched, so
         # out-eligible under rule 2.)
+        "f3_gitignore": q_f3_gitignore,
         "s4_posting_list": q_s4_posting_list,
         "a4_query_parser_ext": q_a4_query_parser_ext,
         "w4_topk": q_w4_topk,
@@ -2380,6 +2482,12 @@ def oracle_sql() -> dict[str, str]:
             select subj, pred, obj from read_parquet('{KG_EXPECTED_DIR}/triples.parquet')
         """,
         "kg_pipeline_edges": f"""
+            select src, pred, dst from read_parquet('{KG_EXPECTED_DIR}/edges.parquet')
+        """,
+        # the incremental drive must CONVERGE on the from-scratch edge
+        # set — same expected table; equality additionally proves the
+        # supersede/tombstone/skip machinery changed nothing
+        "kg_incremental_rebuild": f"""
             select src, pred, dst from read_parquet('{KG_EXPECTED_DIR}/edges.parquet')
         """,
         "kg_degree_hist": f"""

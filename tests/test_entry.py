@@ -33,6 +33,25 @@ def test_each_query_runs_sf0001(spark, name):
     assert n > 0, name
 
 
+def test_incremental_rebuild_canaries_emit_triples(spark):
+    """The kg_incremental_rebuild gate works by LEAK DETECTION: the
+    wave-1 stale content and the tombstoned scratch file must each emit
+    triples, or supersede/tombstone breakage could never surface as an
+    oracle mismatch.  Pin that the canary contents are live under the
+    current extractor."""
+    from sema_spark.operators.mentions import extract_triples, with_content_sha
+    from sema_spark.schemas import REPOS
+
+    rows = [
+        {"repo": "r/r", "path": "src/a.py", "commit": "c", "lang": "py", "content": E._STALE_CONTENT},
+        {"repo": "r/r", "path": "src/b.py", "commit": "c", "lang": "py", "content": E._ZOMBIE_CONTENT},
+    ]
+    src = with_content_sha(spark.createDataFrame(rows, REPOS))
+    objs = {r.obj for r in extract_triples(src).collect()}
+    assert any("stale_zombie_fn" in o for o in objs)
+    assert any("doomed_tombstone_fn" in o for o in objs)
+
+
 def test_every_oracle_binds_in_duckdb():
     """EXPLAIN each oracle against the sf0.001 views: catches SQL typos,
     missing expected-parquet files, and schema-binding breaks in
