@@ -928,9 +928,21 @@ def q_kg_incremental_rebuild(spark, sf):
         ] + [zombie]
 
         # tiny (<1 MB), wiped on entry; tmpfs because sandbox /tmp is a
-        # slow serial virtual disk (BENCH/BASELINE.md)
+        # slow serial virtual disk (BENCH/BASELINE.md).  Earlier
+        # sessions' dirs are RAM-backed garbage nothing else reclaims —
+        # sweep any over an hour old (age guard: a CONCURRENT grading
+        # process's live dir must not be yanked from under its
+        # memoized DataFrame), plus this application's own
+        import glob as _glob
+        import time as _time
+
         base = f"/dev/shm/sema_kg_incr_{key}"
-        shutil.rmtree(base, ignore_errors=True)
+        for stale in _glob.glob("/dev/shm/sema_kg_incr_*"):
+            try:
+                if stale == base or _os.path.getmtime(stale) < _time.time() - 3600:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
         src1 = with_content_sha(spark.createDataFrame([r.__dict__ for r in wave1], REPOS))
         run_incremental_stage(
             spark, src1, "triples", base, lambda p: extract_triples(salted_repartition(p, None))

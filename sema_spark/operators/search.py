@@ -175,7 +175,7 @@ def parse_query(q: str) -> ParsedQuery:
     fuzzy: dict[str, int] = {}
     scoped: list[tuple[str, str]] = []
     scoped_not: list[tuple[str, str]] = []
-    phrase_slops: dict[str, int] = {}
+    required_slop: dict[str, int] = {}
     phrases_not: dict[str, int] = {}
 
     def words(s: str) -> list[str]:
@@ -187,12 +187,19 @@ def parse_query(q: str) -> ParsedQuery:
             if not ph:
                 continue
             slop = int(m.group(3)) if m.group(3) else 0
+            # duplicate clauses on the SAME phrase conjoin (Lucene
+            # applies every clause); slop matches are monotone —
+            # matches(slop a) ⊆ matches(slop b) for a ≤ b — so the
+            # conjunction collapses exactly: required keeps the
+            # STRICTEST (min) budget, exclusion keeps the WIDEST (max)
             if m.group(1) == "-":
-                phrases_not[ph] = slop
+                phrases_not[ph] = max(phrases_not.get(ph, 0), slop)
             else:
-                phrases.append(ph)
-                if slop:
-                    phrase_slops[ph] = slop
+                if ph not in required_slop:
+                    phrases.append(ph)
+                    required_slop[ph] = slop
+                else:
+                    required_slop[ph] = min(required_slop[ph], slop)
             continue
         tok = m.group(4)
         target = should
@@ -231,7 +238,8 @@ def parse_query(q: str) -> ParsedQuery:
     return ParsedQuery(
         tuple(should), tuple(must), tuple(must_not), tuple(phrases),
         tuple(boosts.items()), tuple(fuzzy.items()), tuple(scoped),
-        tuple(scoped_not), tuple(phrase_slops.items()),
+        tuple(scoped_not),
+        tuple((ph, s) for ph, s in required_slop.items() if s),
         tuple(phrases_not.items()),
     )
 

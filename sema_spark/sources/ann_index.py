@@ -158,15 +158,21 @@ def build_ivf_index(
             .partitionBy("cluster")
             .parquet(f"{index_dir}/vectors")
         )
-        # one-column membership sidecar (see _indexed_ids) — derived from
-        # the just-written table so the two can never disagree at build
-        (
-            df.sparkSession.read.parquet(f"{index_dir}/vectors")
-            .select("vec_id")
-            .write.mode("overwrite")
-            .parquet(f"{index_dir}/ids")
-        )
+        _write_ids_sidecar(df.sparkSession, index_dir)
     return cents
+
+
+def _write_ids_sidecar(spark: SparkSession, index_dir: str) -> None:
+    """(Re)derive the one-column membership sidecar (see _indexed_ids)
+    from the just-written vectors table, so the two can never disagree
+    at build time.  Shared by the IVF and LSH builds — the sidecar
+    protocol must stay identical across index families."""
+    (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .select("vec_id")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/ids")
+    )
 
 
 def _indexed_ids(spark: SparkSession, index_dir: str) -> DataFrame:
@@ -234,6 +240,8 @@ def _append_new_vectors(canon: DataFrame, index_dir: str, part_col, assign) -> i
     from sema_spark.plans.materialize import materialize
 
     spark = canon.sparkSession
+    _recover_swap(f"{index_dir}/vectors")
+    _recover_swap(f"{index_dir}/ids")
     existing = _indexed_ids(spark, index_dir)
     # cut so the count and the write share one anti-join execution;
     # materialize() keeps the cut mode a deployment decision (persist /
@@ -337,12 +345,7 @@ def build_lsh_stored_index(
         )
         with open(f"{index_dir}/lsh_meta.json", "w") as f:
             json.dump({"dim": dim, "num_bits": num_bits}, f)
-        (
-            spark.read.parquet(f"{index_dir}/vectors")
-            .select("vec_id")
-            .write.mode("overwrite")
-            .parquet(f"{index_dir}/ids")
-        )
+        _write_ids_sidecar(spark, index_dir)
 
 
 def _lsh_meta(index_dir: str) -> tuple[int, int]:
@@ -455,6 +458,19 @@ def _file_state(spark: SparkSession, index_dir: str) -> DataFrame | None:
     read it instead of scanning chunks (and the liveness join
     broadcasts)."""
     if not os.path.exists(f"{index_dir}/filestate/_SUCCESS"):
+        if os.path.exists(f"{index_dir}/filestate.old") or os.path.exists(
+            f"{index_dir}/filestate.compact-tmp/_SUCCESS"
+        ):
+            # a compaction swap died mid-flight: the log EXISTS, just
+            # under its swap name.  Treating this as "legacy" would
+            # silently serve dead generations — fail loudly instead;
+            # any maintenance op (append/remove/compact) repairs it
+            # via _recover_swap under the writer lock.
+            raise RuntimeError(
+                f"{index_dir}/filestate is mid-compaction-swap (crash?) — "
+                "run semantic_index_append/remove or compact_semantic_index "
+                "to recover before querying"
+            )
         return None
     log = spark.read.parquet(f"{index_dir}/filestate")
     # max_by over seq: later entries supersede earlier ones per file
@@ -492,8 +508,16 @@ def live_chunks(spark: SparkSession, index_dir: str) -> DataFrame:
     written LAST) and are GC'd by :func:`compact_semantic_index`."""
     chunks = spark.read.parquet(f"{index_dir}/chunks")
     state = _file_state(spark, index_dir)
-    if state is None or "_gen" not in chunks.columns:
+    if "_gen" not in chunks.columns:
         return chunks  # legacy append-only index
+    if state is None:
+        # generational chunks with no log at all (and no swap dir to
+        # recover from — _file_state raises on that): serving every
+        # generation would duplicate superseded files
+        raise RuntimeError(
+            f"{index_dir}/filestate missing but chunks carry _gen — "
+            "restore the log or rebuild the index"
+        )
     alive = state.where(F.col("gen") != _GEN_DELETED).select(
         "repo", "path", F.col("gen").alias("_gen")
     )
@@ -513,6 +537,20 @@ def build_semantic_index(docs: DataFrame, index_dir: str) -> None:
 
     d = _prep_docs(docs)
     with _maintenance_lock(index_dir, wait=True):
+        # a rebuild restarts generation numbering — drop any crashed
+        # append's marker and swap leftovers along with the old tables
+        for leftover in (
+            ".chunks-append-inflight",
+            "chunks.old",
+            "chunks.compact-tmp",
+            "filestate.old",
+            "filestate.compact-tmp",
+        ):
+            p = f"{index_dir}/{leftover}"
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                os.remove(p)
         _chunk_rows(d, gen=0).write.mode("overwrite").parquet(f"{index_dir}/chunks")
         shutil.rmtree(f"{index_dir}/filestate", ignore_errors=True)
         _append_filestate(d.select("repo", "path", "content_sha"), index_dir, gen=0)
@@ -531,8 +569,15 @@ def semantic_index_append(docs: DataFrame, index_dir: str) -> int:
     number of newly indexed files.
 
     Crash-safety: payload chunks append BEFORE the filestate log, so a
-    crash between the two leaves orphan (never-live) chunk rows that a
-    retry re-indexes and compaction GCs — never stale or missing data.
+    crash between the two leaves orphan (never-live) chunk rows that
+    compaction GCs — never stale or missing data.  The
+    ``.chunks-append-inflight`` marker makes the RETRY safe too:
+    without it a retry would draw the SAME generation from the
+    unchanged log, append the chunks a second time, and the eventual
+    log entry would make BOTH copies live (the r6 review's duplicate-
+    serving scenario); with it, :func:`_next_gen` allocates past every
+    generation physically present in the payload, so the orphans stay
+    dead forever.
 
     Legacy (pre-filestate) indexes fall back to the r5 (repo, path)
     anti-join: append-only, content changes NOT detected (rebuild to
@@ -541,8 +586,19 @@ def semantic_index_append(docs: DataFrame, index_dir: str) -> int:
 
     spark = docs.sparkSession
     with _maintenance_lock(index_dir, wait=True):
+        _recover_swap(f"{index_dir}/chunks")
+        _recover_swap(f"{index_dir}/filestate")
         state = _file_state(spark, index_dir)
         if state is None and os.path.exists(f"{index_dir}/chunks/_SUCCESS"):
+            if "_gen" in spark.read.parquet(f"{index_dir}/chunks").columns:
+                # chunks carry generations but the log is gone and not
+                # recoverable from a swap dir: appending in legacy
+                # (gen-less) shape would write rows that can never
+                # become live once the log reappears
+                raise RuntimeError(
+                    f"{index_dir}/filestate missing but chunks carry _gen — "
+                    "restore the log or rebuild the index"
+                )
             # legacy fallback (r5 semantics)
             from sema_spark.functions.vector import l2_norm
             from sema_spark.operators.chunker import chunk_and_embed
@@ -569,10 +625,34 @@ def semantic_index_append(docs: DataFrame, index_dir: str) -> int:
         fresh = materialize(d.join(alive, ["repo", "path", "content_sha"], "left_anti"))
         n = fresh.count()
         if n:
-            gen = _next_seq(spark, index_dir)
+            gen = _next_gen(spark, index_dir)
+            marker = f"{index_dir}/.chunks-append-inflight"
+            open(marker, "w").close()
             _chunk_rows(fresh, gen).write.mode("append").parquet(f"{index_dir}/chunks")
             _append_filestate(fresh.select("repo", "path", "content_sha"), index_dir, gen)
+            # only now is gen committed to the log; clearing earlier
+            # would let the next append re-allocate an orphaned gen
+            os.remove(marker)
         return n
+
+
+def _next_gen(spark: SparkSession, index_dir: str) -> int:
+    """Next chunk generation: 1 + the filestate log's max seq — unless a
+    ``.chunks-append-inflight`` marker says a previous append crashed
+    after its payload write, in which case one recovery scan of the
+    payload's ``_gen`` column bumps past any orphaned generations so a
+    retry can never re-issue one (orphans stay dead until compaction
+    GCs them).  The scan runs only in the post-crash state; the marker
+    survives until some later append COMMITS a higher gen to the log."""
+    nxt = _next_seq(spark, index_dir)
+    if os.path.exists(f"{index_dir}/.chunks-append-inflight"):
+        orphan_max = (
+            spark.read.parquet(f"{index_dir}/chunks")
+            .agg(F.max("_gen"))
+            .collect()[0][0]
+        )
+        nxt = max(nxt, int(orphan_max or 0) + 1)
+    return nxt
 
 
 def semantic_index_remove(spark: SparkSession, index_dir: str, paths: DataFrame) -> int:
@@ -584,6 +664,8 @@ def semantic_index_remove(spark: SparkSession, index_dir: str, paths: DataFrame)
     from sema_spark.plans.materialize import materialize
 
     with _maintenance_lock(index_dir, wait=True):
+        _recover_swap(f"{index_dir}/chunks")
+        _recover_swap(f"{index_dir}/filestate")
         state = _file_state(spark, index_dir)
         if state is None:
             raise ValueError("legacy index has no filestate log — rebuild to enable removal")
@@ -722,11 +804,12 @@ def _compact_table(
     non-blocking — an append landing between the read and the rename
     would be silently discarded, including the streaming maintainer's,
     whose file-source checkpoint never re-offers processed files).
-    Crash-safe for READERS-after-crash on a rename-capable filesystem:
-    the rewrite lands in a sibling temp dir, then two renames swap it
-    in; a crash before the first rename leaves the live table
-    untouched, between renames there is a gap a retry fixes (rerun
-    compact — the ``.old`` dir still holds the data).  On an object
+    Crash-safe on a rename-capable filesystem: the rewrite lands in a
+    sibling DETERMINISTIC temp dir, then two renames swap it in, and
+    :func:`_recover_swap` (run here and by every writer before touching
+    the table) completes or rolls back an interrupted swap — the temp
+    dir is fully written before the first rename, so whichever of
+    ``.old``/temp survives a crash holds a complete copy.  On an object
     store without atomic rename, use the checkpoint log's
     append-then-GC compaction instead (sources/checkpoint.compact).
 
@@ -734,9 +817,11 @@ def _compact_table(
     chunk table, so compaction GCs dead generations)."""
     import shutil
 
+    _recover_swap(table_dir)
     if df is None:
         df = spark.read.parquet(table_dir)
-    tmp = f"{table_dir}.compact-tmp-{os.getpid()}"
+    tmp = f"{table_dir}.compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)  # stale partial from a crash
     # hash-cluster rows so each partition value lands in one task → one
     # output file per partition dir; unpartitioned tables coalesce flat
     writer = (
@@ -748,10 +833,42 @@ def _compact_table(
     if partition_by is not None:
         w = w.partitionBy(partition_by)
     w.parquet(tmp)
-    old = f"{table_dir}.old-{os.getpid()}"
+    old = f"{table_dir}.old"
     os.rename(table_dir, old)
     os.rename(tmp, table_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(old)
+
+
+def _recover_swap(table_dir: str) -> None:
+    """Complete or roll back an interrupted :func:`_compact_table` swap.
+
+    Crash windows and their repair (names are deterministic, so any
+    later process can finish the job — the old ``.old-<pid>`` naming
+    made the r6 review's scenario PERMANENT: nothing could find the
+    orphaned copy, and a filestate gap silently downgraded the index to
+    legacy semantics, serving dead generations):
+
+    * table present → any leftover ``.old`` / ``.compact-tmp`` is
+      garbage from after-swap or before-swap crashes; delete them.
+    * table MISSING and ``.compact-tmp/_SUCCESS`` exists → the crash
+      hit between the two renames; finish: tmp → table, drop ``.old``.
+    * table missing, tmp absent/partial, ``.old`` present → the crash
+      hit mid-rename-1 (or tmp was already promoted then lost); roll
+      back: ``.old`` → table.
+    """
+    import shutil
+
+    tmp, old = f"{table_dir}.compact-tmp", f"{table_dir}.old"
+    if os.path.exists(table_dir):
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    if os.path.exists(f"{tmp}/_SUCCESS"):
+        os.rename(tmp, table_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(old):
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.rename(old, table_dir)
 
 
 def compact_ivf_index(spark: SparkSession, index_dir: str) -> None:
@@ -771,6 +888,8 @@ def compact_semantic_index(spark: SparkSession, index_dir: str) -> None:
     crash-safety: chunks first — a crash before the log compaction
     leaves extra log entries whose liveness semantics are unchanged."""
     with _maintenance_lock(index_dir, wait=False):
+        _recover_swap(f"{index_dir}/chunks")
+        _recover_swap(f"{index_dir}/filestate")
         state = _file_state(spark, index_dir)
         _compact_table(
             spark, f"{index_dir}/chunks", df=live_chunks(spark, index_dir)

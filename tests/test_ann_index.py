@@ -206,6 +206,99 @@ def test_semantic_index_build_append_query(spark, tmp_path):
     assert sorted(map(key, got)) == sorted(map(key, exp)) and got
 
 
+def _sem_docs(spark, n=8):
+    return spark.createDataFrame(
+        [
+            ("r1", f"f{i}.py", ("def spark_shuffle_join():\n    pass\n" * 8) + f"# doc {i}\n")
+            for i in range(n)
+        ],
+        "repo string, path string, content string",
+    )
+
+
+def test_append_retry_after_payload_crash_serves_no_duplicates(spark, tmp_path):
+    """Crash between the payload append and the filestate append, then
+    RETRY the same batch: the retry must allocate a generation past the
+    orphaned one (via the inflight marker), so exactly one copy of each
+    chunk is ever live, and compaction GCs the orphans."""
+    from sema_spark.sources.ann_index import (
+        _chunk_rows,
+        _next_gen,
+        _prep_docs,
+        build_semantic_index,
+        compact_semantic_index,
+        live_chunks,
+        semantic_index_append,
+    )
+
+    docs = _sem_docs(spark)
+    idx = str(tmp_path / "sem")
+    build_semantic_index(docs.where(F.col("path") < "f4"), idx)
+
+    # simulate the crashed append of the remaining files: payload rows
+    # land at gen 1 with the marker set, but the log write never happens
+    batch = _prep_docs(docs.where(F.col("path") >= "f4"))
+    open(f"{idx}/.chunks-append-inflight", "w").close()
+    _chunk_rows(batch, gen=1).write.mode("append").parquet(f"{idx}/chunks")
+
+    # the retry sees the marker and must skip past the orphaned gen
+    assert _next_gen(spark, idx) == 2
+    assert semantic_index_append(docs, idx) == 4
+    live = live_chunks(spark, idx)
+    per_chunk = live.groupBy("repo", "path", "start_line").count()
+    assert per_chunk.where(F.col("count") > 1).count() == 0
+    n_live = live.count()
+    # marker cleared by the successful retry; orphans GC'd by compaction
+    import os as _os
+
+    assert not _os.path.exists(f"{idx}/.chunks-append-inflight")
+    total_before = spark.read.parquet(f"{idx}/chunks").count()
+    assert total_before > n_live  # orphans physically present
+    compact_semantic_index(spark, idx)
+    assert spark.read.parquet(f"{idx}/chunks").count() == n_live
+
+
+def test_crashed_compaction_swap_recovers(spark, tmp_path):
+    """Kill the compaction between its two renames: readers must FAIL
+    LOUDLY (not silently downgrade to legacy all-generations serving),
+    and the next maintenance op must repair the swap and serve exactly
+    the pre-crash answers."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from sema_spark.sources.ann_index import (
+        build_semantic_index,
+        semantic_index_append,
+        semantic_search_stored,
+    )
+
+    docs = _sem_docs(spark)
+    idx = str(tmp_path / "sem")
+    build_semantic_index(docs.where(F.col("path") < "f4"), idx)
+    # change every file's content so superseded generations exist
+    changed = docs.withColumn("content", F.concat(F.col("content"), F.lit("# v2\n")))
+    semantic_index_append(changed, idx)
+    q = "spark shuffle join"
+    before = [
+        (r.repo, r.path, r.start_line, r.score)
+        for r in semantic_search_stored(spark, idx, q, k=10).collect()
+    ]
+
+    # crash window: filestate renamed away, replacement never promoted
+    _os.rename(f"{idx}/filestate", f"{idx}/filestate.old")
+    with _pytest.raises(RuntimeError, match="mid-compaction-swap"):
+        semantic_search_stored(spark, idx, q, k=10)
+
+    # any maintenance op repairs the swap under the writer lock
+    assert semantic_index_append(changed, idx) == 0
+    after = [
+        (r.repo, r.path, r.start_line, r.score)
+        for r in semantic_search_stored(spark, idx, q, k=10).collect()
+    ]
+    assert after == before and after
+
+
 def test_compaction_preserves_answers(spark, tmp_path):
     """Repeated appends fragment the stored tables; compaction rewrites
     them into few files and must change NOTHING about query answers."""

@@ -107,6 +107,21 @@ def test_bpe_encode_vocab_forms_identical(spark):
     assert enc(vocab={}) == base  # empty mapping == no-vocab
 
 
+def test_bpe_encode_broadcast_is_memoized_per_mapping(spark):
+    """Repeated encodes with the SAME precomputed mapping must reuse one
+    Broadcast (the r6 review: per-call re-broadcast of a multi-MB dict
+    accumulates executor blocks for the session's lifetime), while a
+    different mapping object gets its own."""
+    from sema_spark.functions.bpe import _broadcast_memo, bpe_train, precompute_vocab
+
+    merges = bpe_train(_df(spark, ["the theme", "banana the"]), 4)
+    v1 = precompute_vocab(merges, ["the", "banana"])
+    b1 = _broadcast_memo(spark, v1, dict(v1))
+    assert _broadcast_memo(spark, v1, dict(v1)) is b1
+    v2 = precompute_vocab(merges, ["theme"])
+    assert _broadcast_memo(spark, v2, dict(v2)) is not b1
+
+
 def test_bpe_batched_spark_matches_python(spark):
     """Batched mode (top-m non-conflicting per round): both engines must
     walk the identical candidate window and selection, on a corpus busy

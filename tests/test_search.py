@@ -152,6 +152,35 @@ def test_parse_query_phrase_slop_and_exclusion_modifiers():
     assert "sort" not in pq.scored_terms and "hash" in pq.scored_terms
 
 
+def test_duplicate_phrase_clauses_conjoin():
+    """Lucene applies EVERY clause; slop matches are monotone, so the
+    conjunction collapses to min slop for required phrases and max for
+    exclusions — repeating a phrase must never widen a requirement or
+    narrow an exclusion (the r6 review's last-wins bug)."""
+    from sema_spark.operators.search import bm25_search, parse_query
+
+    pq = parse_query('"a b" "a b"~2')
+    assert pq.phrases == ("a b",)
+    assert pq.phrase_slop_of("a b") == 0  # strict clause wins
+    pq2 = parse_query('-"a b"~2 -"a b" x')
+    assert dict(pq2.phrases_not) == {"a b": 2}  # widest exclusion wins
+
+
+def test_duplicate_phrase_clauses_conjoin_e2e(spark):
+    from sema_spark.operators.search import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "a b win"), (2, "a x b win")],
+        "doc_id long, text string",
+    )
+    # required: strict + sloppy → only the adjacent doc survives
+    out = bm25_search(docs, '"a b" "a b"~2', k=10)
+    assert {r.doc_id for r in out.collect()} == {1}
+    # excluded: strict + sloppy → the sloppy clause still drops doc 2
+    out = bm25_search(docs, 'win -"a b"~2 -"a b"', k=10)
+    assert {r.doc_id for r in out.collect()} == set()
+
+
 def test_slop_pattern_semantics():
     import re
 
