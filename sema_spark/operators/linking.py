@@ -173,6 +173,142 @@ def link_triples(
     return out
 
 
+def _norm_expr(col):
+    return F.regexp_replace(F.lower(col), "[_\\-]", "")
+
+
+def _block_expr(col):
+    """The (repo, 2-char normalized prefix) alias-block key — the unit
+    of the incremental-maintenance dependency analysis.  MUST stay the
+    exact expression _fuzzy_link blocks candidates by."""
+    return F.substring(_norm_expr(col), 1, 2)
+
+
+def changed_alias_blocks(
+    new_changed_triples: DataFrame, old_changed_triples: DataFrame
+) -> DataFrame:
+    """(repo, _p) alias blocks whose candidate membership differs
+    between the old and new versions of the CHANGED files only — alias
+    rows are file-local (entity ids embed their (repo, path)), so
+    unchanged files contribute identical rows to both sides and never
+    need scanning.  Shared by link_triples_incremental and the
+    pipeline's stage-2 maintenance: a resolution's full dependency
+    footprint (exact key, tier-1 normalized key, tier-2 block) lies
+    inside its obj's own block, so an unchanged block ⇒ an unchanged
+    resolution."""
+
+    def aliases_of(t: DataFrame) -> DataFrame:
+        return build_alias_dict(build_nodes(t)).select("repo", "alias", "entity_id", "kind")
+
+    a_new, a_old = aliases_of(new_changed_triples), aliases_of(old_changed_triples)
+    delta = a_new.subtract(a_old).unionByName(a_old.subtract(a_new))
+    return (
+        delta.select("repo", _block_expr(F.col("alias")).alias("_p"))
+        .distinct()
+        .transform(materialize)
+    )
+
+
+def link_triples_incremental(
+    triples_new: DataFrame,
+    prev_triples: DataFrame,
+    prev_linked: DataFrame,
+    broadcast: bool | None = None,
+    fuzzy: bool = True,
+    cosine_threshold: float = COSINE_THRESHOLD,
+    new_keys: DataFrame | None = None,
+    prev_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Delta-maintained stage 2: row-for-row equal to
+    ``link_triples(triples_new)`` while re-linking only what can have
+    changed — the incremental-view-maintenance form of the alias join.
+
+    A full snapshot re-link costs ~|all triples| per run even when one
+    file changed (measured at the 50k-file bench corpus: 31 s of the
+    80 s incremental pipeline re-run — the dominant snapshot cost).  At
+    100 TB that is the difference between "incremental" and "rescan the
+    derived world every run".  This form recomputes links for exactly:
+
+    * triples of NEW or CHANGED files (their links never existed), and
+    * unchanged link-pred triples whose (repo, 2-char normalized
+      prefix) ALIAS BLOCK gained or lost any candidate row — the
+      complete dependency footprint of a resolution: the exact-key
+      candidates share the obj's own normalized prefix, tier-1 shares
+      its normalized key, and tier-2 pairs only within the block (the
+      contract _fuzzy_link documents); kind or entity-id changes in the
+      block surface as row-level set deltas, covering tie-break flips.
+
+    Everything else keeps its previous linked row verbatim.  Deleted
+    files drop out (their keys are absent from ``triples_new``) and
+    their vanished aliases flag the affected blocks.  Equality with the
+    from-scratch operator is property-tested over add/change/delete
+    mutations (tests/test_linking.py) and the wired pipeline re-grades
+    against the from-scratch oracle via ``kg_incremental_rebuild``.
+
+    Caller contract: ``prev_linked`` must be the output of
+    ``link_triples`` (same ``fuzzy``/threshold/broadcast parameters)
+    over exactly ``prev_triples`` — plans/pipeline.run_pipeline
+    enforces this by fingerprint comparison and falls back to the full
+    re-link on any mismatch.  ``new_keys``/``prev_keys``: the two
+    states' (repo, path, content_sha) file sets, if the caller already
+    has them (the pipeline reads them from the checkpoint LOG — one row
+    per file — sparing two full triple scans here).
+
+    Cost shape (first cut of this operator measured SLOWER than the
+    full re-link at the 50k-file corpus — full-dict subtracts and a
+    5.7M-row materialize ate the join savings; all three fixed):
+
+    * the alias delta is computed from CHANGED FILES ONLY — an alias
+      row's entity_id embeds its (repo, path), so a file's alias
+      contributions are file-local and the old-side dict needs only
+      ``prev_triples ⋉ changed-or-deleted keys``, never the full
+      corpus;
+    * ``kept`` is NOT materialized: its two consumers re-scan the
+      stored snapshot (two cheap columnar scans beat checkpointing the
+      full-width table);
+    * file keys come from the caller when available (see above)."""
+    file_cols = ["repo", "path", "content_sha"]
+
+    def file_keys(t: DataFrame) -> DataFrame:
+        return t.select(*file_cols).distinct()
+
+    new_keys = new_keys if new_keys is not None else file_keys(triples_new)
+    prev_keys = prev_keys if prev_keys is not None else file_keys(prev_triples)
+    # changed = new or content-changed; gone = deleted or content-changed
+    changed_files = new_keys.join(prev_keys, file_cols, "left_anti").transform(materialize)
+    gone_files = prev_keys.join(new_keys, file_cols, "left_anti")
+
+    new_changed_t = triples_new.join(changed_files, file_cols, "left_semi").transform(materialize)
+    old_changed_t = prev_triples.join(gone_files, file_cols, "left_semi")
+    # tiny: one row per (repo, prefix) block with any membership change
+    changed_blocks = changed_alias_blocks(new_changed_t, old_changed_t)
+
+    # prev rows of files still present at the same content; changed
+    # files carry a NEW sha in triples_new, so their old rows drop here
+    kept = prev_linked.join(new_keys, file_cols, "left_semi").withColumn(
+        "_p", _block_expr(F.col("obj"))
+    )
+    is_link = F.col("pred").isin(*LINK_PREDS)
+    affected = kept.filter(is_link).join(changed_blocks, ["repo", "_p"], "left_semi")
+    unaffected = kept.filter(~is_link).unionByName(
+        kept.filter(is_link).join(changed_blocks, ["repo", "_p"], "left_anti")
+    )
+
+    triple_cols = ["subj", "pred", "obj", "repo", "path", "commit", "line", "content_sha"]
+    to_link = new_changed_t.select(*triple_cols).unionByName(affected.select(*triple_cols))
+    relinked = link_triples(
+        to_link,
+        nodes=build_nodes(triples_new),
+        broadcast=broadcast,
+        fuzzy=fuzzy,
+        cosine_threshold=cosine_threshold,
+    )
+    # the semi-join hoisted its USING columns to the front; restore the
+    # caller's column order (positional consumers — exceptAll, parquet
+    # appends to an existing snapshot — depend on it)
+    return unaffected.drop("_p").unionByName(relinked).select(*prev_linked.columns)
+
+
 def _fuzzy_link(unresolved: DataFrame, alias: DataFrame, threshold: float) -> DataFrame:
     """Tiered fuzzy resolution (SURVEY J2).
 
@@ -186,12 +322,27 @@ def _fuzzy_link(unresolved: DataFrame, alias: DataFrame, threshold: float) -> Da
     the dictionary is ~|corpus symbols| while unresolved queries are a
     handful), and prefix-semi-join shrinks it to the blocks in play.
 
+    Band pairs additionally require the QUERY'S OWN block (the r6
+    incremental-linking contract): a query's resolution is a pure
+    function of (query, its (repo, prefix) alias block), independent of
+    what other queries exist.  Without the block equality, a band-hash
+    collision could pair a query with a candidate from another block
+    that is only present because some OTHER query pulled it in — making
+    results query-set-dependent, which would break
+    :func:`link_triples_incremental`'s affected-set reasoning (and is
+    surprising behavior on its own).  Cross-block near-duplicates whose
+    first two normalized chars differ fall back to ``ext:`` — the same
+    recall trade every prefix-blocked LSH makes.
+
     Operates on the *distinct* (repo, raw symbol) set, not per-triple.
     Returns (repo, obj, obj_id, score): best candidate per raw symbol
     with score ≥ threshold (tier-1 hits score 1.0).
     """
-    def norm(col):
-        return F.regexp_replace(F.lower(col), "[_\\-]", "")
+    # _norm_expr / the 2-char prefix are SHARED with
+    # link_triples_incremental's changed-block detection: the affected-
+    # set reasoning is only sound if both sides compute the identical
+    # block key
+    norm = _norm_expr
 
     q0 = (
         unresolved.select("repo", "obj").distinct().withColumn("_n", norm(F.col("obj")))
@@ -229,12 +380,14 @@ def _fuzzy_link(unresolved: DataFrame, alias: DataFrame, threshold: float) -> Da
     # carry only ids — threading the 384-float embeddings through the
     # band join would shuffle 16 copies of each vector and run
     # distinct() over array rows; embeddings rejoin after pair dedup
-    qs = q_rest.transform(lambda d: with_minhash(d, text_col="_n", shingle_words=False))
+    qs = q_rest.withColumn("_p", prefix(F.col("_n"))).transform(
+        lambda d: with_minhash(d, text_col="_n", shingle_words=False)
+    )
     cands = a_blocked.transform(lambda d: with_minhash(d, text_col="_n", shingle_words=False))
-    q_bands = explode_bands(qs, ["repo", "obj"])
-    c_bands = explode_bands(cands, ["repo", "alias", "cand_id"])
+    q_bands = explode_bands(qs, ["repo", "_p", "obj"])
+    c_bands = explode_bands(cands, ["repo", "_p", "alias", "cand_id"])
     cand_pairs = (
-        q_bands.join(c_bands, on=["repo", "band", "bh"], how="inner")
+        q_bands.join(c_bands, on=["repo", "_p", "band", "bh"], how="inner")
         .select("repo", "obj", "alias", "cand_id")
         .distinct()
     )

@@ -4,8 +4,8 @@
       │  stage 1 — triples      incremental  (per-file checkpoint, J1)
       ▼
     triples (subj, pred, obj, provenance, content_sha)
-      │  stage 2 — linked       snapshot     (alias join J3 + LSH/cosine J2)
-      ▼
+      │  stage 2 — linked       incremental  (alias join J3 + LSH/cosine J2;
+      ▼                                       per-file supersede, delta re-link r6)
     linked_triples (+ obj_id, link_method, link_score)
       │  stage 3 — nodes        snapshot     (connected components J4)
       ▼
@@ -15,8 +15,12 @@
     edges (src, pred, dst, provenance)
 
 Stage 1 carries the content-bytes cost and is per-file incremental with
-crash-safe resume; stages 2-4 are derived tables ~1000x smaller,
-recomputed per snapshot but skipped outright when the upstream
+crash-safe resume.  Stage 2 is 1:1 with the triples, so from r6 it is
+ALSO stored as per-file increments and maintained by delta re-link
+(_run_linked_stage) — both its compute and its write volume scale with
+the change set.  Stages 3-4 are snapshots: canonicalization is a global
+fixpoint (one changed file can merge or split components anywhere), so
+they recompute per snapshot but skip outright when the upstream
 fingerprint is unchanged (see sources/checkpoint.py).  Before the heavy
 extraction scan the input is salted-repartitioned on
 (repo, xxhash64 % SALT) so a monorepo cannot pin a single task (north
@@ -28,13 +32,20 @@ lineage rows — `graph_stats` aggregates headline metrics per run.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sema_spark.operators.canonicalize import canonical_edges, canonicalize_nodes
-from sema_spark.operators.linking import build_nodes, link_triples
+from sema_spark.operators.linking import (
+    LINK_PREDS,
+    _block_expr,
+    build_nodes,
+    changed_alias_blocks,
+    link_triples,
+)
 from sema_spark.operators.mentions import (
     extract_triples,
     salted_repartition,
@@ -43,10 +54,16 @@ from sema_spark.operators.mentions import (
 from sema_spark.schemas import EDGES, LINKED_TRIPLES, NODES, TRIPLES
 from sema_spark.sources.checkpoint import (
     StageRun,
+    current_checkpoint,
+    delete_files,
+    input_fingerprint,
+    logged_keys,
     read_snapshot,
     read_stage_output,
+    run_forced_incremental_stage,
     run_incremental_stage,
     run_snapshot_stage,
+    stage_rows_for_keys,
 )
 
 STAGE_TRIPLES = "triples"
@@ -61,6 +78,9 @@ class PipelineRun:
     linked: StageRun
     nodes: StageRun
     edges: StageRun
+    # how stage 2 was produced: "full" re-link, "delta"
+    # (link_triples_incremental), or whatever ran before a skip
+    link_mode: str = "full"
 
     @property
     def any_work(self) -> bool:
@@ -73,8 +93,18 @@ def run_pipeline(
     base: str,
     fuzzy: bool = True,
     salt_partitions: int | None = None,
+    incremental_link: bool = False,
 ) -> PipelineRun:
-    """Execute (or resume) the full pipeline against the current source."""
+    """Execute (or resume) the full pipeline against the current source.
+
+    ``incremental_link``: maintain stage 2 by DELTA — re-link only
+    changed files plus alias-delta-affected files — instead of a full
+    re-link of every file (see :func:`_run_linked_stage`; the stored
+    form is per-file increments either way).  Output is identical by
+    construction; the flag only changes the amount of work.  Falls back
+    to the full re-link when the stored linked state cannot be trusted
+    (params flip, legacy snapshot-format base, compaction pruned the
+    history the delta needs)."""
     src = src if "content_sha" in src.columns else with_content_sha(src)
 
     r1 = run_incremental_stage(
@@ -85,21 +115,24 @@ def run_pipeline(
         lambda pending: extract_triples(salted_repartition(pending, salt_partitions)),
     )
     triples = read_stage_output(spark, base, STAGE_TRIPLES, schema=TRIPLES)
-    keys = triples.select("repo", "path", "content_sha").distinct()
+    # snapshot-skip fingerprints key on the checkpoint LOG's file state
+    # (one row per file), not a distinct over the triple data: cheaper,
+    # and the SAME source the incremental-link branch reconstructs its
+    # pre-run state from — mixing the two sources would differ on
+    # zero-triple files (processed and logged, but contributing no data
+    # rows) and spuriously fail the delta path's trust check
+    key_cols = ["repo", "path", "content_sha"]
+    keys = current_checkpoint(spark, base, STAGE_TRIPLES).select(*key_cols)
+
+    r2, link_mode = _run_linked_stage(spark, base, triples, keys, fuzzy, incremental_link)
+    linked = read_stage_output(spark, base, STAGE_LINKED, schema=LINKED_TRIPLES)
 
     # params fold non-key dependencies into each skip fingerprint:
-    # stage 2 depends on the fuzzy flag, stage 4 on the FINGERPRINTS of
-    # the snapshots it derives from (content-stable: a skipped upstream
-    # keeps its fingerprint, so downstream stays skippable; a
-    # regenerated upstream changes it and forces the derivation to
-    # re-run; a compacted upstream keeps it, so compaction does not
-    # trigger spurious downstream regeneration)
-    r2 = run_snapshot_stage(
-        spark, keys, STAGE_LINKED, base, lambda: link_triples(triples, fuzzy=fuzzy),
-        params=f"fuzzy={fuzzy}",
-    )
-    linked = read_snapshot(spark, base, STAGE_LINKED, schema=LINKED_TRIPLES)
-
+    # stage 4 keys on the FINGERPRINTS of the states it derives from
+    # (content-stable: a skipped upstream keeps its fingerprint, so
+    # downstream stays skippable; a regenerated upstream changes it and
+    # forces the derivation to re-run; a compacted upstream keeps it, so
+    # compaction does not trigger spurious downstream regeneration)
     r3 = run_snapshot_stage(
         spark, keys, STAGE_NODES, base, lambda: canonicalize_nodes(build_nodes(triples)),
         partition_cols=["kind"],
@@ -111,7 +144,114 @@ def run_pipeline(
         partition_cols=["pred"],
         params=f"linked={r2.fingerprint};nodes={r3.fingerprint}",
     )
-    return PipelineRun(r1, r2, r3, r4)
+    return PipelineRun(r1, r2, r3, r4, link_mode=link_mode)
+
+
+def _run_linked_stage(
+    spark: SparkSession,
+    base: str,
+    triples: DataFrame,
+    keys: DataFrame,
+    fuzzy: bool,
+    incremental_link: bool,
+) -> tuple[StageRun, str]:
+    """Stage 2, stored LOG-STRUCTURED — per-file increments with
+    ``max_by(run_id)`` supersede — instead of a monolithic snapshot.
+
+    The r6 measurement that motivated this: a 1%-changed re-run of the
+    50k-file corpus spent its stage-2 time on the full 5.7M-row
+    snapshot REWRITE even after the delta re-link landed, so "stage 2
+    is incremental" was only true of the compute, not the I/O.  Here
+    both are ∝ the delta:
+
+    * diff the triples log against the linked log (file-key level, one
+      row per file on each side): ``changed`` = versions not yet
+      linked, ``gone`` = linked versions no longer live;
+    * ``delta`` mode narrows the re-link to changed files plus files
+      whose triples reference an alias block the change touched
+      (operators/linking.changed_alias_blocks — the old side reads the
+      superseded triples via checkpoint.stage_rows_for_keys, possible
+      because the log is append-only until compaction; if compaction
+      already pruned that history, fall back to ``full``);
+    * re-linked rows COMMIT as a forced increment for exactly those
+      files (checkpoint.run_forced_incremental_stage) — supersede works
+      even at an unchanged content_sha, which is what lets a derived
+      stage refresh a file the user never touched;
+    * vanished paths get stage-2 tombstones;
+    * a params sidecar pins the fuzzy flag — a flag flip forces a full
+      re-link (the stored rows were computed under the other setting).
+
+    The returned fingerprint is the same ``<keys-fp>:fuzzy=<f>`` string
+    the old snapshot stage committed, so stage-4 skip keys survive the
+    storage-format migration unchanged; legacy snapshot-format bases
+    have no per-file linked log, diff as all-changed, and migrate
+    themselves on first contact."""
+    import json
+
+    from sema_spark.plans.materialize import materialize
+
+    key_cols = ["repo", "path", "content_sha"]
+    fp = f"{input_fingerprint(keys)}:fuzzy={fuzzy}"
+    lkeys = (
+        current_checkpoint(spark, base, STAGE_LINKED)
+        .filter(F.col("repo") != "__SNAPSHOT__")
+        .select(*key_cols)
+    )
+    params_path = f"{base}/{STAGE_LINKED}/params.json"
+    try:
+        with open(params_path) as f:
+            params_ok = json.load(f) == {"fuzzy": bool(fuzzy)}
+    except (OSError, ValueError):
+        params_ok = False
+
+    changed = keys.join(lkeys, key_cols, "left_anti").transform(materialize)
+    gone = lkeys.join(keys, key_cols, "left_anti").transform(materialize)
+    n_changed, n_gone = changed.count(), gone.count()
+    if params_ok and n_changed == 0 and n_gone == 0:
+        return StageRun(STAGE_LINKED, "", 0, 0, skipped=True, fingerprint=fp), "full"
+
+    mode = "full"
+    if incremental_link and params_ok:
+        # the delta needs the OLD triples of gone versions; compaction
+        # may have pruned that history — verify before trusting it
+        unlogged = gone.join(logged_keys(spark, base, STAGE_TRIPLES), key_cols, "left_anti")
+        if unlogged.count() == 0:
+            mode = "delta"
+
+    if mode == "delta":
+        old_changed_t = stage_rows_for_keys(spark, base, STAGE_TRIPLES, gone, schema=TRIPLES)
+        new_changed_t = triples.join(changed, key_cols, "left_semi").transform(materialize)
+        blocks = changed_alias_blocks(new_changed_t, old_changed_t)
+        affected = (
+            triples.filter(F.col("pred").isin(*LINK_PREDS))
+            .withColumn("_p", _block_expr(F.col("obj")))
+            .join(blocks, ["repo", "_p"], "left_semi")
+            .select(*key_cols)
+            .distinct()
+            .join(changed, key_cols, "left_anti")
+        )
+        relink_files = changed.unionByName(affected).transform(materialize)
+        to_link = triples.join(relink_files, key_cols, "left_semi")
+    else:
+        relink_files = keys
+        to_link = triples
+
+    rows = link_triples(to_link, nodes=build_nodes(triples), fuzzy=fuzzy)
+    rf = run_forced_incremental_stage(spark, relink_files, rows, STAGE_LINKED, base)
+    gone_paths = (
+        gone.select("repo", "path")
+        .distinct()
+        .join(keys.select("repo", "path").distinct(), ["repo", "path"], "left_anti")
+    )
+    if n_gone and gone_paths.count():
+        delete_files(spark, base, STAGE_LINKED, gone_paths)
+    os.makedirs(f"{base}/{STAGE_LINKED}", exist_ok=True)
+    with open(params_path, "w") as f:
+        json.dump({"fuzzy": bool(fuzzy)}, f)
+    return (
+        StageRun(STAGE_LINKED, rf.run_id, rf.input_files, rf.output_rows, skipped=False, fingerprint=fp),
+        mode,
+    )
 
 
 def read_triples(spark: SparkSession, base: str) -> DataFrame:
@@ -119,7 +259,7 @@ def read_triples(spark: SparkSession, base: str) -> DataFrame:
 
 
 def read_linked(spark: SparkSession, base: str) -> DataFrame:
-    return read_snapshot(spark, base, STAGE_LINKED, schema=LINKED_TRIPLES)
+    return read_stage_output(spark, base, STAGE_LINKED, schema=LINKED_TRIPLES)
 
 
 def read_nodes(spark: SparkSession, base: str) -> DataFrame:

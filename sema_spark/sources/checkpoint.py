@@ -114,10 +114,21 @@ def read_checkpoint_log(spark: SparkSession, base: str, stage: str) -> DataFrame
     return _read_or_empty(spark, _ckpt_dir(base, stage), schema)
 
 
-def current_checkpoint(spark: SparkSession, base: str, stage: str) -> DataFrame:
+def current_checkpoint(
+    spark: SparkSession, base: str, stage: str, before_run: str | None = None
+) -> DataFrame:
     """Latest (content_sha, run_id) per file — last writer wins by sortable
-    run_id.  One row per live file; tombstones excluded."""
+    run_id.  One row per live file; tombstones excluded.
+
+    ``before_run``: time travel — the state as it was before that run
+    committed (run_ids sort chronologically).  The data files of every
+    run are retained until compaction, so any as-of state they anchor
+    remains readable; used by the incremental stage-2 maintenance to
+    reconstruct the exact input its previous snapshot was derived from.
+    """
     log = read_checkpoint_log(spark, base, stage)
+    if before_run is not None:
+        log = log.filter(F.col("run_id") < before_run)
     latest = log.groupBy("stage", "repo", "path").agg(
         F.max_by(F.struct("content_sha", "run_id"), F.col("run_id")).alias("cur")
     )
@@ -179,9 +190,49 @@ def run_incremental_stage(
     if n_files == 0:
         files.unpersist()
         return StageRun(stage, run_id, 0, 0, skipped=True)
+    try:
+        n_rows = _commit_increment(spark, base, stage, files, transform(pending), run_id)
+    finally:
+        files.unpersist()
+    return StageRun(stage, run_id, n_files, n_rows, skipped=False)
 
-    out = transform(pending).withColumn("run_id", F.lit(run_id))
-    out = out.persist()
+
+def run_forced_incremental_stage(
+    spark: SparkSession,
+    files: DataFrame,
+    rows: DataFrame,
+    stage: str,
+    base: str,
+    run_id: str | None = None,
+) -> StageRun:
+    """Commit an increment for an EXPLICIT file set — no anti-join: the
+    caller decides which files to (re)process.  ``rows`` replace those
+    files' previous output via the ordinary per-file supersede
+    (``max_by(run_id)``), which works even when a file's content_sha is
+    UNCHANGED — the lever behind derived stages whose output for an
+    untouched file can still change because a neighbor changed (the
+    incremental stage-2 maintenance re-links alias-delta-affected
+    files).  Same write order and crash contract as
+    :func:`run_incremental_stage`."""
+    run_id = run_id or new_run_id()
+    files = files.select("repo", "path", "content_sha").distinct().persist()
+    n_files = files.count()
+    if n_files == 0:
+        files.unpersist()
+        return StageRun(stage, run_id, 0, 0, skipped=True)
+    try:
+        n_rows = _commit_increment(spark, base, stage, files, rows, run_id)
+    finally:
+        files.unpersist()
+    return StageRun(stage, run_id, n_files, n_rows, skipped=False)
+
+
+def _commit_increment(
+    spark: SparkSession, base: str, stage: str, files: DataFrame, rows: DataFrame, run_id: str
+) -> int:
+    """Shared write tail: data → lineage → checkpoint (commit LAST; see
+    module docstring for the crash contract)."""
+    out = rows.withColumn("run_id", F.lit(run_id)).persist()
     try:
         out.write.mode("append").partitionBy("run_id").parquet(_data_dir(base, stage))
         n_rows = out.count()
@@ -205,11 +256,12 @@ def run_incremental_stage(
         ).write.mode("append").parquet(_ckpt_dir(base, stage))
     finally:
         out.unpersist()
-        files.unpersist()
-    return StageRun(stage, run_id, n_files, n_rows, skipped=False)
+    return n_rows
 
 
-def read_stage_output(spark: SparkSession, base: str, stage: str, schema=None) -> DataFrame:
+def read_stage_output(
+    spark: SparkSession, base: str, stage: str, schema=None, before_run: str | None = None
+) -> DataFrame:
     """Current snapshot: data rows referenced by the live checkpoint.
 
     left-semi on (repo, path, content_sha, run_id) — orphans from
@@ -220,15 +272,56 @@ def read_stage_output(spark: SparkSession, base: str, stage: str, schema=None) -
     inference fails on a legitimately-empty stage; with ``schema`` the
     caller gets an empty DataFrame instead of an error (an empty or
     fully-filtered source is a valid pipeline state, not a crash).
+
+    ``before_run``: the snapshot as of before that run committed (see
+    :func:`current_checkpoint`).
     """
     data = _read_parquet(
         spark, _data_dir(base, stage), empty_schema=schema, codes=_ABSENT_OR_EMPTY
     )
     if "run_id" not in data.columns:
         return data  # legitimately-empty stage: nothing to join
-    ckpt = current_checkpoint(spark, base, stage)
+    ckpt = current_checkpoint(spark, base, stage, before_run=before_run)
     keys = ["repo", "path", "content_sha", "run_id"]
     return data.join(ckpt.select(*keys), on=keys, how="left_semi").drop("run_id")
+
+
+def stage_rows_for_keys(
+    spark: SparkSession, base: str, stage: str, keys: DataFrame, schema=None
+) -> DataFrame:
+    """Data rows for an EXPLICIT (repo, path, content_sha) key set —
+    including versions superseded in the live state: data and log are
+    append-only until compaction, so any previously-LOGGED version
+    remains readable (a crashed run's orphans were never logged and
+    stay invisible; per key the latest logged run wins).  Callers that
+    depend on historical versions must first check the log still has
+    them (see :func:`logged_keys`) — compaction prunes superseded
+    entries."""
+    key_cols = ["repo", "path", "content_sha"]
+    log = read_checkpoint_log(spark, base, stage).filter(F.col("content_sha") != TOMBSTONE)
+    latest = (
+        log.join(keys.select(*key_cols).distinct(), key_cols, "left_semi")
+        .groupBy(*key_cols)
+        .agg(F.max("run_id").alias("run_id"))
+    )
+    data = _read_parquet(
+        spark, _data_dir(base, stage), empty_schema=schema, codes=_ABSENT_OR_EMPTY
+    )
+    if "run_id" not in data.columns:
+        return data
+    return data.join(latest, key_cols + ["run_id"], "left_semi").drop("run_id")
+
+
+def logged_keys(spark: SparkSession, base: str, stage: str) -> DataFrame:
+    """Every (repo, path, content_sha) the stage's log has EVER recorded
+    (tombstones excluded) — superset of the live state until compaction
+    prunes history."""
+    return (
+        read_checkpoint_log(spark, base, stage)
+        .filter((F.col("content_sha") != TOMBSTONE) & (F.col("repo") != _COMMIT_MARK))
+        .select("repo", "path", "content_sha")
+        .distinct()
+    )
 
 
 def delete_files(
@@ -277,6 +370,17 @@ def input_fingerprint(keys: DataFrame) -> str:
         .collect()[0]
     )
     return f"{row.n}:{row.s}"
+
+
+def snapshot_commit(spark: SparkSession, base: str, stage: str) -> tuple[str, str] | None:
+    """(run_id, committed fingerprint) of the latest snapshot commit for
+    ``stage``, or None if never committed.  The fingerprint is the full
+    skip key — ``input_fingerprint(keys)`` plus any ``params`` suffix —
+    letting callers decide whether a stored snapshot matches a given
+    input state (the incremental stage-2 maintenance compares it
+    against the as-of reconstruction before trusting delta logic)."""
+    last = _latest_commit(spark, base, stage)
+    return None if last is None else (last.run_id, last.content_sha)
 
 
 def _latest_commit(spark: SparkSession, base: str, stage: str):

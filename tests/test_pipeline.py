@@ -86,6 +86,97 @@ def test_incremental_change_propagates(spark, kg):
     assert nodes.filter("repo='org1/proj1' and path='src/m2.js' and symbol like 'f2%'").count() == 0
 
 
+def test_incremental_link_pipeline_equals_full(spark, tmp_path):
+    """run_pipeline(incremental_link=True): first run takes the full
+    path (no prior snapshot), the mutated second run takes the delta
+    path, and the final graph must equal a from-scratch build of the
+    same corpus (corpus.expected_edges).  Third run skips everything."""
+    src = corpus_df(spark, "xs")
+    base = str(tmp_path / "kg")
+    # wave 1: everything except one file whose module others import
+    part = src.filter(~((F.col("repo") == "org0/proj0") & (F.col("path") == "src/m1.py")))
+    P.run_pipeline(spark, part, base, incremental_link=True)
+    # wave 2: the full corpus — re-adds m1.py, flipping other files'
+    # `imports m1` / `calls f1_*` from ext:/fuzzy back to alias links
+    # in UNCHANGED files (the delta path's affected-block logic)
+    run2 = P.run_pipeline(spark, src, base, incremental_link=True)
+    assert run2.triples.input_files == 1 and not run2.linked.skipped
+    # the delta branch actually engaged (a silently-failed fingerprint
+    # check would fall back to full and this test would prove nothing)
+    assert run2.link_mode == "delta"
+    edges = {
+        (r.src, r.pred, r.dst)
+        for r in P.read_edges(spark, base).select("src", "pred", "dst").distinct().collect()
+    }
+    from sema_spark.corpus import expected_edges
+
+    assert edges == expected_edges("xs")
+    run3 = P.run_pipeline(spark, src, base, incremental_link=True)
+    assert not run3.any_work
+
+
+def test_linked_stage_write_volume_proportional_to_delta(spark, tmp_path):
+    """The r6 log-structured stage 2: a small change must re-WRITE only
+    the re-linked files' rows (one run_id partition per increment), not
+    the whole linked table — the snapshot rewrite was the measured
+    bottleneck of the incremental re-run at bench scale."""
+    src = corpus_df(spark, "xs")
+    base = str(tmp_path / "kg")
+    r1 = P.run_pipeline(spark, src, base, incremental_link=True)
+    total = P.read_linked(spark, base).count()
+
+    mutated = src.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == "org1/proj1") & (F.col("path") == "src/m2.js"),
+            F.lit("// rewritten\nfunction tiny_delta_fn(x) {\n  const y = tiny_delta_fn(x);\n  return y;\n}\n"),
+        ).otherwise(F.col("content")),
+    )
+    r2 = P.run_pipeline(spark, mutated, base, incremental_link=True)
+    assert r2.link_mode == "delta"
+    # the increment's physical partition holds only the delta's rows
+    inc = spark.read.parquet(f"{base}/linked/data").filter(
+        F.col("run_id") == r2.linked.run_id
+    )
+    assert inc.count() == r2.linked.output_rows
+    assert 0 < r2.linked.output_rows < total / 2
+    # and only files the delta names: the changed file + its repo's
+    # affected alias blocks
+    repos = {r.repo for r in inc.select("repo").distinct().collect()}
+    assert repos == {"org1/proj1"}
+    # the live view equals a from-scratch link of the mutated corpus
+    from sema_spark.operators.linking import link_triples
+    from sema_spark.operators.mentions import extract_triples
+
+    live = P.read_linked(spark, base)
+    full = link_triples(extract_triples(mutated))
+    assert live.count() == full.count()
+    assert live.exceptAll(full.select(*live.columns)).count() == 0
+
+
+def test_linked_stage_delete_propagates(spark, tmp_path):
+    """Tombstoned files vanish from the linked view and their alias
+    targets in OTHER files re-link (delta mode)."""
+    from sema_spark.sources.checkpoint import delete_files
+
+    src = corpus_df(spark, "xs")
+    base = str(tmp_path / "kg")
+    P.run_pipeline(spark, src, base, incremental_link=True)
+    delete_files(
+        spark, base, "triples",
+        spark.createDataFrame([("org0/proj0", "src/m1.py")], "repo string, path string"),
+    )
+    shrunk = src.filter(~((F.col("repo") == "org0/proj0") & (F.col("path") == "src/m1.py")))
+    r = P.run_pipeline(spark, shrunk, base, incremental_link=True)
+    assert r.link_mode == "delta" and not r.linked.skipped
+    live = P.read_linked(spark, base)
+    assert live.filter("repo='org0/proj0' and path='src/m1.py'").count() == 0
+    # unchanged files' imports of the deleted module no longer resolve to it
+    m1_refs = live.filter("repo='org0/proj0' and pred='imports' and obj='m1'")
+    assert m1_refs.count() > 0
+    assert m1_refs.filter("obj_id = 'org0/proj0/src/m1.py'").count() == 0
+
+
 def test_flagship_who_imports(spark, kg):
     base, _, _ = kg
     got = {
