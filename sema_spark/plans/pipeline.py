@@ -58,6 +58,7 @@ from sema_spark.sources.checkpoint import (
     delete_files,
     input_fingerprint,
     logged_keys,
+    read_checkpoint_log,
     read_snapshot,
     read_stage_output,
     run_forced_incremental_stage,
@@ -104,7 +105,12 @@ def run_pipeline(
     construction; the flag only changes the amount of work.  Falls back
     to the full re-link when the stored linked state cannot be trusted
     (params flip, legacy snapshot-format base, compaction pruned the
-    history the delta needs)."""
+    history the delta needs).
+
+    Change detection hashes every source byte per run (the stage-1
+    anti-join) UNLESS ``src`` already carries a ``content_sha`` column —
+    ship one from source metadata (git commit trees, Iceberg manifests)
+    to make the steady-state scan metadata-sized too."""
     src = src if "content_sha" in src.columns else with_content_sha(src)
 
     r1 = run_incremental_stage(
@@ -139,12 +145,135 @@ def run_pipeline(
     )
     nodes = read_snapshot(spark, base, STAGE_NODES, schema=NODES)
 
-    r4 = run_snapshot_stage(
-        spark, keys, STAGE_EDGES, base, lambda: canonical_edges(linked, nodes),
-        partition_cols=["pred"],
-        params=f"linked={r2.fingerprint};nodes={r3.fingerprint}",
+    r4 = _run_edges_stage(
+        spark, base, linked, nodes, keys, r2.fingerprint, r3.fingerprint, incremental_link
     )
     return PipelineRun(r1, r2, r3, r4, link_mode=link_mode)
+
+
+def _run_edges_stage(
+    spark: SparkSession,
+    base: str,
+    linked: DataFrame,
+    nodes: DataFrame,
+    keys: DataFrame,
+    fp_linked: str,
+    fp_nodes: str,
+    incremental: bool,
+) -> StageRun:
+    """Stage 4, stored LOG-STRUCTURED like stage 2 (per-file increments
+    with supersede + tombstones, partitioned by pred within each
+    increment so predicate pruning survives).
+
+    An edge row is a pure function of (its file's linked rows, the
+    canonical mapping of the entities those rows mention), so a file's
+    edges need refreshing only when
+
+    * the file was re-linked since edges were last built (read from the
+      LINKED LOG: every row with run_id past the high-water mark the
+      params sidecar recorded — robust to stage-4 lag across crashed
+      runs, not just "this run's" relinks), or
+    * some entity in its rows changed canonical id — the old/new
+      canonical-map diff, readable because the previous nodes SNAPSHOT
+      run is retained until compaction (pruned history ⇒ fall back to
+      full).
+
+    The sidecar pins (linked fp, nodes fp, linked-log high-water mark);
+    sidecar == target skips the stage outright — the same skip the old
+    snapshot params gave.  Deleted paths get stage-4 tombstones.
+    Canonicalization itself (stage 3) stays a snapshot: merge groups
+    span files (identical content in many repos), so the hub of a group
+    can flip from a change anywhere — the map diff is exactly how that
+    global effect re-enters the per-file world here."""
+    import json
+
+    from sema_spark.plans.materialize import materialize
+
+    key_cols = ["repo", "path", "content_sha"]
+    target = {"linked": fp_linked, "nodes": fp_nodes}
+    params_path = f"{base}/{STAGE_EDGES}/params.json"
+    try:
+        with open(params_path) as f:
+            sidecar = json.load(f)
+    except (OSError, ValueError):
+        sidecar = None
+    if sidecar is not None and {k: sidecar.get(k) for k in target} == target:
+        return StageRun(STAGE_EDGES, "", 0, 0, skipped=True, fingerprint=fp_nodes)
+
+    llog = read_checkpoint_log(spark, base, STAGE_LINKED)
+    lmax = llog.agg(F.max("run_id")).collect()[0][0] or ""
+
+    mode = "full"
+    old_cmap = None
+    if incremental and sidecar is not None and sidecar.get("linked_run") is not None:
+        # the old canonical map: the nodes snapshot run whose committed
+        # fingerprint the sidecar recorded (None if compaction pruned it)
+        nlog = read_checkpoint_log(spark, base, STAGE_NODES)
+        old_commit = (
+            nlog.filter((F.col("repo") == "__SNAPSHOT__") & (F.col("content_sha") == sidecar["nodes"]))
+            .agg(F.max("run_id"))
+            .collect()[0][0]
+        )
+        if old_commit is not None:
+            old_rows = spark.read.parquet(f"{base}/{STAGE_NODES}/data").filter(
+                F.col("run_id") == old_commit
+            )
+            if old_rows.limit(1).count() > 0:
+                old_cmap = old_rows.select("entity_id", "canonical_id")
+                mode = "delta"
+
+    if mode == "delta":
+        new_cmap = nodes.select("entity_id", F.col("canonical_id").alias("_new_cid"))
+        ce = materialize(
+            old_cmap.join(new_cmap, "entity_id", "full_outer")
+            .where(
+                F.col("canonical_id").isNull()
+                | F.col("_new_cid").isNull()
+                | (F.col("canonical_id") != F.col("_new_cid"))
+            )
+            .select("entity_id")
+        )
+        relinked_since = (
+            llog.filter((F.col("run_id") > sidecar["linked_run"]) & (F.col("content_sha") != "__DELETED__"))
+            .select(*key_cols)
+        )
+        touched = (
+            linked.join(ce, linked["subj"] == ce["entity_id"], "left_semi")
+            .select(*key_cols)
+            .unionByName(
+                linked.join(ce, linked["obj_id"] == ce["entity_id"], "left_semi").select(*key_cols)
+            )
+        )
+        refresh = materialize(
+            relinked_since.unionByName(touched)
+            .distinct()
+            # restrict to LIVE versions (a twice-relinked file's older
+            # sha may appear in the log slice)
+            .join(keys, key_cols, "left_semi")
+        )
+        rows = canonical_edges(linked.join(refresh, key_cols, "left_semi"), nodes)
+    else:
+        refresh = keys
+        rows = canonical_edges(linked, nodes)
+
+    rf = run_forced_incremental_stage(
+        spark, refresh, rows, STAGE_EDGES, base, partition_cols=["pred"]
+    )
+    ekeys = (
+        current_checkpoint(spark, base, STAGE_EDGES)
+        .filter(F.col("repo") != "__SNAPSHOT__")
+        .select("repo", "path")
+        .distinct()
+    )
+    gone_paths = ekeys.join(keys.select("repo", "path").distinct(), ["repo", "path"], "left_anti")
+    if gone_paths.count():
+        delete_files(spark, base, STAGE_EDGES, gone_paths)
+    os.makedirs(f"{base}/{STAGE_EDGES}", exist_ok=True)
+    with open(params_path, "w") as f:
+        json.dump({**target, "linked_run": lmax}, f)
+    return StageRun(
+        STAGE_EDGES, rf.run_id, rf.input_files, rf.output_rows, skipped=False, fingerprint=fp_nodes
+    )
 
 
 def _run_linked_stage(
@@ -267,7 +396,7 @@ def read_nodes(spark: SparkSession, base: str) -> DataFrame:
 
 
 def read_edges(spark: SparkSession, base: str) -> DataFrame:
-    return read_snapshot(spark, base, STAGE_EDGES, schema=EDGES)
+    return read_stage_output(spark, base, STAGE_EDGES, schema=EDGES)
 
 
 def graph_stats(spark: SparkSession, base: str) -> DataFrame:

@@ -86,7 +86,9 @@ NODES = StructType(
     ]
 )
 
-# Final edges (canonical ids).
+# Final edges (canonical ids).  content_sha rides along (r6): the
+# north-rule per-row invariant, and the per-file supersede key the
+# log-structured stage-4 storage commits increments under.
 EDGES = StructType(
     [
         StructField("src", StringType(), False),
@@ -95,6 +97,7 @@ EDGES = StructType(
         StructField("repo", StringType(), False),
         StructField("path", StringType(), False),
         StructField("line", LongType(), True),
+        StructField("content_sha", StringType(), True),
     ]
 )
 

@@ -204,6 +204,7 @@ def run_forced_incremental_stage(
     stage: str,
     base: str,
     run_id: str | None = None,
+    partition_cols: list[str] | None = None,
 ) -> StageRun:
     """Commit an increment for an EXPLICIT file set — no anti-join: the
     caller decides which files to (re)process.  ``rows`` replace those
@@ -221,20 +222,30 @@ def run_forced_incremental_stage(
         files.unpersist()
         return StageRun(stage, run_id, 0, 0, skipped=True)
     try:
-        n_rows = _commit_increment(spark, base, stage, files, rows, run_id)
+        n_rows = _commit_increment(
+            spark, base, stage, files, rows, run_id, partition_cols=partition_cols
+        )
     finally:
         files.unpersist()
     return StageRun(stage, run_id, n_files, n_rows, skipped=False)
 
 
 def _commit_increment(
-    spark: SparkSession, base: str, stage: str, files: DataFrame, rows: DataFrame, run_id: str
+    spark: SparkSession,
+    base: str,
+    stage: str,
+    files: DataFrame,
+    rows: DataFrame,
+    run_id: str,
+    partition_cols: list[str] | None = None,
 ) -> int:
     """Shared write tail: data → lineage → checkpoint (commit LAST; see
     module docstring for the crash contract)."""
     out = rows.withColumn("run_id", F.lit(run_id)).persist()
     try:
-        out.write.mode("append").partitionBy("run_id").parquet(_data_dir(base, stage))
+        out.write.mode("append").partitionBy("run_id", *(partition_cols or [])).parquet(
+            _data_dir(base, stage)
+        )
         n_rows = out.count()
         # Per-partition lineage rows (A3 generalized; north rule).
         lineage = (

@@ -177,6 +177,69 @@ def test_linked_stage_delete_propagates(spark, tmp_path):
     assert m1_refs.filter("obj_id = 'org0/proj0/src/m1.py'").count() == 0
 
 
+def test_edges_stage_write_volume_and_canon_flip(spark, tmp_path):
+    """Log-structured stage 4: a 1-file change rewrites only the
+    affected files' edge rows; and a CANONICAL-ID flip caused by
+    deleting one copy of duplicated content must refresh edges of
+    OTHER untouched files via the canonical-map diff (the global
+    effect of stage 3 re-entering the per-file world)."""
+    from sema_spark.operators.canonicalize import canonical_edges, canonicalize_nodes
+    from sema_spark.operators.linking import build_nodes, link_triples
+    from sema_spark.operators.mentions import extract_triples
+    from sema_spark.sources.checkpoint import delete_files
+
+    src = corpus_df(spark, "xs")
+    base = str(tmp_path / "kg")
+    P.run_pipeline(spark, src, base, incremental_link=True)
+    total = P.read_edges(spark, base).count()
+
+    # leg 1: single content change — tiny refresh set
+    mutated = src.withColumn(
+        "content",
+        F.when(
+            (F.col("repo") == "org1/proj1") & (F.col("path") == "src/m2.js"),
+            F.lit("// rewritten\nfunction tiny_delta_fn(x) {\n  const y = tiny_delta_fn(x);\n  return y;\n}\n"),
+        ).otherwise(F.col("content")),
+    )
+    r = P.run_pipeline(spark, mutated, base, incremental_link=True)
+    assert not r.edges.skipped
+    inc = spark.read.parquet(f"{base}/edges/data").filter(F.col("run_id") == r.edges.run_id)
+    assert inc.count() == r.edges.output_rows
+    assert 0 < r.edges.output_rows < total / 2
+
+    # leg 2: delete the canonical hub of the cross-repo duplicated file
+    # (dup_shared.py is identical in proj0 and proj3 at xs; org0 holds
+    # the lexicographic-min entity ids) — org3's copy is untouched but
+    # its canonical ids flip to itself, so its edges must refresh
+    delete_files(
+        spark, base, "triples",
+        spark.createDataFrame([("org0/proj0", "src/dup_shared.py")], "repo string, path string"),
+    )
+    shrunk = mutated.filter(
+        ~((F.col("repo") == "org0/proj0") & (F.col("path") == "src/dup_shared.py"))
+    )
+    r2 = P.run_pipeline(spark, shrunk, base, incremental_link=True)
+    assert not r2.edges.skipped
+    inc2 = spark.read.parquet(f"{base}/edges/data").filter(F.col("run_id") == r2.edges.run_id)
+    refreshed = {
+        (x.repo, x.path) for x in inc2.select("repo", "path").distinct().collect()
+    }
+    assert ("org3/proj3", "src/dup_shared.py") in refreshed  # untouched file refreshed
+
+    # live view equals a from-scratch build of the final corpus
+    live = P.read_edges(spark, base).select("src", "pred", "dst").distinct()
+    t = extract_triples(shrunk)
+    full = (
+        canonical_edges(link_triples(t), canonicalize_nodes(build_nodes(t)))
+        .select("src", "pred", "dst")
+        .distinct()
+    )
+    assert live.count() == full.count()
+    assert live.exceptAll(full).count() == 0
+    # no edge keeps the deleted hub as canonical id
+    assert live.filter(F.col("src").startswith("org0/proj0/src/dup_shared")).count() == 0
+
+
 def test_flagship_who_imports(spark, kg):
     base, _, _ = kg
     got = {
