@@ -879,26 +879,35 @@ def q_kg_incremental_rebuild(spark, sf):
               stale_zombie_fn — triples that must not survive) plus an
               extra scratch file (doomed_tombstone_fn);
       delete: the scratch file is tombstoned (S7 delete_files);
-      wave 2: the full pipeline over the true corpus — the stale file
-              re-extracts via the (repo, path, content_sha) anti-join,
-              the other wave-1 files SKIP (already checkpointed at
-              their current sha), and the downstream snapshots draw
-              stage-1 rows from BOTH runs' data files while the
-              superseded and tombstoned rows must vanish in
-              read_stage_output's semi-join;
+      wave 2: the full pipeline over the true corpus EXCEPT one file
+              still at a draft content (full link path — no prior
+              linked state exists) — the stale file re-extracts via
+              the (repo, path, content_sha) anti-join, the other
+              wave-1 files SKIP (already checkpointed at their current
+              sha), and the downstream stages draw stage-1 rows from
+              BOTH runs' data files while the superseded and
+              tombstoned rows must vanish in read_stage_output's
+              semi-join;
+      wave 2b: the full pipeline over the TRUE corpus with
+              ``incremental_link=True`` — the draft file re-extracts
+              and the DELTA maintenance path must engage (raises if
+              link_mode != 'delta'), re-linking only the changed file
+              plus its alias-delta-affected blocks and committing
+              per-file increments into the log-structured stage-2/4
+              storage;
       wave 3: a no-op re-run that must skip all four stages (raises
               RuntimeError into the grade if any stage does work).
 
     Oracle: identical to kg_pipeline_edges (corpus.expected_edges) — so
     supersede (stale triples gone), tombstones (scratch triples gone),
-    snapshot fingerprint skips, and read_stage_output's orphan semi-join
-    are all value-gated, not just pytest-gated.  (Wave 1 deliberately
-    does NOT run the snapshot stages on the partial corpus: they gate
-    nothing wave 2 doesn't recompute, and skipping them keeps the query
-    ~35 s instead of ~65; snapshot regeneration-on-upstream-change stays
-    pytest-gated in test_checkpoint.)  Reference parity: the watcher's
-    skip / re-index / remove branches
-    (/root/reference/src/storage/mod.rs:30-52)."""
+    fingerprint/sidecar skips, read_stage_output's orphan semi-join,
+    AND the r6 delta re-link + log-structured increment storage are
+    all value-gated, not just pytest-gated.  (Wave 1 deliberately does
+    NOT run the snapshot stages on the partial corpus: they gate
+    nothing wave 2 doesn't recompute; snapshot
+    regeneration-on-upstream-change stays pytest-gated in
+    test_checkpoint.)  Reference parity: the watcher's skip / re-index
+    / remove branches (/root/reference/src/storage/mod.rs:30-52)."""
     key = spark.sparkContext.applicationId
     if key not in _KG_INCR_CACHE:
         import shutil
@@ -953,9 +962,34 @@ def q_kg_incremental_rebuild(spark, sf):
             "triples",
             spark.createDataFrame([(zombie.repo, zombie.path)], "repo string, path string"),
         )
-        src2 = spark.createDataFrame([r.__dict__ for r in rows], REPOS)
+        # wave 2: true corpus except one file still at a DRAFT content
+        # (adds a draft-only symbol so a failed supersede would leak)
+        draft_i = next(
+            i for i, r in enumerate(rows) if r.lang == "py" and i != stale_i and i % 4 != 0
+        )
+        wave2 = [
+            (
+                FileRow(
+                    r.repo, r.path, r.commit, r.lang,
+                    r.content + "\n\ndef draft_only_fn_zzz(x):\n    return x\n",
+                )
+                if i == draft_i
+                else r
+            )
+            for i, r in enumerate(rows)
+        ]
+        src2 = spark.createDataFrame([r.__dict__ for r in wave2], REPOS)
         run_pipeline(spark, src2, base)
-        r3 = run_pipeline(spark, src2, base)
+        # wave 2b: the true corpus — the DELTA maintenance path must
+        # engage and converge on the exact from-scratch graph
+        src3 = spark.createDataFrame([r.__dict__ for r in rows], REPOS)
+        r2b = run_pipeline(spark, src3, base, incremental_link=True)
+        if r2b.link_mode != "delta":
+            raise RuntimeError(
+                f"incremental pipeline took link_mode={r2b.link_mode!r}; the delta "
+                "maintenance path failed to engage on a warm checkpoint base"
+            )
+        r3 = run_pipeline(spark, src3, base, incremental_link=True)
         if r3.any_work:
             raise RuntimeError(
                 "incremental pipeline failed to skip a no-op re-run: "
