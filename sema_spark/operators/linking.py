@@ -247,12 +247,15 @@ def link_triples_incremental(
 
     Caller contract: ``prev_linked`` must be the output of
     ``link_triples`` (same ``fuzzy``/threshold/broadcast parameters)
-    over exactly ``prev_triples`` — plans/pipeline.run_pipeline
-    enforces this by fingerprint comparison and falls back to the full
-    re-link on any mismatch.  ``new_keys``/``prev_keys``: the two
-    states' (repo, path, content_sha) file sets, if the caller already
-    has them (the pipeline reads them from the checkpoint LOG — one row
-    per file — sparing two full triple scans here).
+    over exactly ``prev_triples`` — violating it silently keeps stale
+    rows, so verify provenance before calling (the pipeline does NOT
+    call this row-level form: its stage-2 maintenance applies the same
+    dependency analysis at FILE granularity against the log-structured
+    store, see plans/pipeline._run_linked_stage; this operator is the
+    standalone two-DataFrames-in / one-DataFrame-out version).
+    ``new_keys``/``prev_keys``: the two states' (repo, path,
+    content_sha) file sets, if the caller already has them cheaper than
+    a triple scan (e.g. from a checkpoint log — one row per file).
 
     Cost shape (first cut of this operator measured SLOWER than the
     full re-link at the 50k-file corpus — full-dict subtracts and a

@@ -10,18 +10,20 @@
       │  stage 3 — nodes        snapshot     (connected components J4)
       ▼
     canonical nodes (entity_id, canonical_id, …)
-      │  stage 4 — edges        snapshot     (canonical rewrite, partitioned)
-      ▼
+      │  stage 4 — edges        incremental  (canonical rewrite; per-file
+      ▼                                       supersede via log + canon-map deltas r6)
     edges (src, pred, dst, provenance)
 
 Stage 1 carries the content-bytes cost and is per-file incremental with
-crash-safe resume.  Stage 2 is 1:1 with the triples, so from r6 it is
-ALSO stored as per-file increments and maintained by delta re-link
-(_run_linked_stage) — both its compute and its write volume scale with
-the change set.  Stages 3-4 are snapshots: canonicalization is a global
-fixpoint (one changed file can merge or split components anywhere), so
-they recompute per snapshot but skip outright when the upstream
-fingerprint is unchanged (see sources/checkpoint.py).  Before the heavy
+crash-safe resume.  Stages 2 and 4 are 1:1 with the triples, so from r6
+they are ALSO stored as per-file increments and maintained by delta
+(_run_linked_stage / _run_edges_stage) — both compute and write volume
+scale with the change set.  Stage 3 stays a snapshot: canonicalization
+is a global fixpoint (one changed file can merge or split components
+anywhere); its output is entity-sized, and the old/new canonical-map
+diff is how that global effect re-enters the per-file world in stage 4.
+Fingerprint/params skips make no-op runs cheap (see
+sources/checkpoint.py).  Before the heavy
 extraction scan the input is salted-repartitioned on
 (repo, xxhash64 % SALT) so a monorepo cannot pin a single task (north
 rule: explicit skew handling; AQE skew-join remains on as backstop).
@@ -32,7 +34,6 @@ lineage rows — `graph_stats` aggregates headline metrics per run.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,10 +54,14 @@ from sema_spark.operators.mentions import (
 )
 from sema_spark.schemas import EDGES, LINKED_TRIPLES, NODES, TRIPLES
 from sema_spark.sources.checkpoint import (
+    COMMIT_MARK,
+    PARAMS_MARK,
+    TOMBSTONE,
     StageRun,
     current_checkpoint,
     delete_files,
     input_fingerprint,
+    latest_params,
     logged_keys,
     read_checkpoint_log,
     read_snapshot,
@@ -64,6 +69,7 @@ from sema_spark.sources.checkpoint import (
     run_forced_incremental_stage,
     run_incremental_stage,
     run_snapshot_stage,
+    snapshot_commit,
     stage_rows_for_keys,
 )
 
@@ -191,13 +197,20 @@ def _run_edges_stage(
 
     key_cols = ["repo", "path", "content_sha"]
     target = {"linked": fp_linked, "nodes": fp_nodes}
-    params_path = f"{base}/{STAGE_EDGES}/params.json"
+    # the anchor rides the increment's own checkpoint append (a sidecar
+    # FILE written before or after the commit would open a crash window
+    # where a later run either skip-serves stale rows or anchors its
+    # canonical-map diff at the wrong snapshot — both r6 review finds)
+    raw = latest_params(spark, base, STAGE_EDGES)
     try:
-        with open(params_path) as f:
-            sidecar = json.load(f)
-    except (OSError, ValueError):
+        sidecar = json.loads(raw) if raw is not None else None
+    except ValueError:
         sidecar = None
     if sidecar is not None and {k: sidecar.get(k) for k in target} == target:
+        return StageRun(STAGE_EDGES, "", 0, 0, skipped=True, fingerprint=fp_nodes)
+    ekeys = current_checkpoint(spark, base, STAGE_EDGES).select(*key_cols)
+    if sidecar is None and ekeys.limit(1).count() == 0 and keys.limit(1).count() == 0:
+        # empty corpus, empty stage: nothing to commit a params row under
         return StageRun(STAGE_EDGES, "", 0, 0, skipped=True, fingerprint=fp_nodes)
 
     llog = read_checkpoint_log(spark, base, STAGE_LINKED)
@@ -210,7 +223,7 @@ def _run_edges_stage(
         # fingerprint the sidecar recorded (None if compaction pruned it)
         nlog = read_checkpoint_log(spark, base, STAGE_NODES)
         old_commit = (
-            nlog.filter((F.col("repo") == "__SNAPSHOT__") & (F.col("content_sha") == sidecar["nodes"]))
+            nlog.filter((F.col("repo") == COMMIT_MARK) & (F.col("content_sha") == sidecar["nodes"]))
             .agg(F.max("run_id"))
             .collect()[0][0]
         )
@@ -234,7 +247,11 @@ def _run_edges_stage(
             .select("entity_id")
         )
         relinked_since = (
-            llog.filter((F.col("run_id") > sidecar["linked_run"]) & (F.col("content_sha") != "__DELETED__"))
+            llog.filter(
+                (F.col("run_id") > sidecar["linked_run"])
+                & (F.col("content_sha") != TOMBSTONE)
+                & ~F.col("repo").isin(COMMIT_MARK, PARAMS_MARK)
+            )
             .select(*key_cols)
         )
         touched = (
@@ -256,24 +273,37 @@ def _run_edges_stage(
         refresh = keys
         rows = canonical_edges(linked, nodes)
 
-    rf = run_forced_incremental_stage(
-        spark, refresh, rows, STAGE_EDGES, base, partition_cols=["pred"]
-    )
-    ekeys = (
-        current_checkpoint(spark, base, STAGE_EDGES)
-        .filter(F.col("repo") != "__SNAPSHOT__")
-        .select("repo", "path")
+    # tombstones FIRST: the params commit below is the "stage is
+    # current" mark, so every other effect must land before it (a crash
+    # after the commit but before late tombstones would skip-serve
+    # deleted paths forever)
+    gone_paths = (
+        ekeys.select("repo", "path")
         .distinct()
+        .join(keys.select("repo", "path").distinct(), ["repo", "path"], "left_anti")
     )
-    gone_paths = ekeys.join(keys.select("repo", "path").distinct(), ["repo", "path"], "left_anti")
     if gone_paths.count():
         delete_files(spark, base, STAGE_EDGES, gone_paths)
-    os.makedirs(f"{base}/{STAGE_EDGES}", exist_ok=True)
-    with open(params_path, "w") as f:
-        json.dump({**target, "linked_run": lmax}, f)
+    rf = run_forced_incremental_stage(
+        spark, refresh, rows, STAGE_EDGES, base, partition_cols=["pred"],
+        params=json.dumps({**target, "linked_run": lmax}),
+    )
+    if rf.skipped:
+        # an empty refresh set writes no checkpoint rows, so the params
+        # row must be committed on its own for the skip check to see
+        # this state as current (e.g. a pure-deletion run)
+        _commit_params_row(spark, base, STAGE_EDGES, json.dumps({**target, "linked_run": lmax}))
     return StageRun(
         STAGE_EDGES, rf.run_id, rf.input_files, rf.output_rows, skipped=False, fingerprint=fp_nodes
     )
+
+
+def _commit_params_row(spark: SparkSession, base: str, stage: str, params: str) -> None:
+    from sema_spark.sources.checkpoint import _CKPT_RUN_SCHEMA, _ckpt_dir, new_run_id
+
+    spark.createDataFrame(
+        [(stage, PARAMS_MARK, PARAMS_MARK, params, new_run_id())], _CKPT_RUN_SCHEMA
+    ).write.mode("append").parquet(_ckpt_dir(base, stage))
 
 
 def _run_linked_stage(
@@ -307,36 +337,32 @@ def _run_linked_stage(
       even at an unchanged content_sha, which is what lets a derived
       stage refresh a file the user never touched;
     * vanished paths get stage-2 tombstones;
-    * a params sidecar pins the fuzzy flag — a flag flip forces a full
-      re-link (the stored rows were computed under the other setting).
+    * a params row pins the fuzzy flag — committed INSIDE the same
+      checkpoint append as the increment (never a sidecar file: that
+      would open a crash window where a later run skip-serves rows
+      computed under the other setting).  A flag flip forces a full
+      re-link.
 
     The returned fingerprint is the same ``<keys-fp>:fuzzy=<f>`` string
     the old snapshot stage committed, so stage-4 skip keys survive the
     storage-format migration unchanged; legacy snapshot-format bases
     have no per-file linked log, diff as all-changed, and migrate
     themselves on first contact."""
-    import json
-
     from sema_spark.plans.materialize import materialize
 
     key_cols = ["repo", "path", "content_sha"]
     fp = f"{input_fingerprint(keys)}:fuzzy={fuzzy}"
-    lkeys = (
-        current_checkpoint(spark, base, STAGE_LINKED)
-        .filter(F.col("repo") != "__SNAPSHOT__")
-        .select(*key_cols)
-    )
-    params_path = f"{base}/{STAGE_LINKED}/params.json"
-    try:
-        with open(params_path) as f:
-            params_ok = json.load(f) == {"fuzzy": bool(fuzzy)}
-    except (OSError, ValueError):
-        params_ok = False
+    want_params = f"fuzzy={fuzzy}"
+    lkeys = current_checkpoint(spark, base, STAGE_LINKED).select(*key_cols)
+    params_ok = latest_params(spark, base, STAGE_LINKED) == want_params
 
     changed = keys.join(lkeys, key_cols, "left_anti").transform(materialize)
     gone = lkeys.join(keys, key_cols, "left_anti").transform(materialize)
     n_changed, n_gone = changed.count(), gone.count()
-    if params_ok and n_changed == 0 and n_gone == 0:
+    if n_changed == 0 and n_gone == 0 and (params_ok or lkeys.limit(1).count() == 0):
+        # params_ok guards against skip-serving rows computed under a
+        # different fuzzy flag; an empty stage over an empty corpus has
+        # no rows to mis-serve (and no increment to hang a params row on)
         return StageRun(STAGE_LINKED, "", 0, 0, skipped=True, fingerprint=fp), "full"
 
     mode = "full"
@@ -366,7 +392,8 @@ def _run_linked_stage(
         to_link = triples
 
     rows = link_triples(to_link, nodes=build_nodes(triples), fuzzy=fuzzy)
-    rf = run_forced_incremental_stage(spark, relink_files, rows, STAGE_LINKED, base)
+    # tombstones FIRST: the params-carrying commit below marks the
+    # stage current, so every other effect must land before it
     gone_paths = (
         gone.select("repo", "path")
         .distinct()
@@ -374,9 +401,12 @@ def _run_linked_stage(
     )
     if n_gone and gone_paths.count():
         delete_files(spark, base, STAGE_LINKED, gone_paths)
-    os.makedirs(f"{base}/{STAGE_LINKED}", exist_ok=True)
-    with open(params_path, "w") as f:
-        json.dump({"fuzzy": bool(fuzzy)}, f)
+    rf = run_forced_incremental_stage(
+        spark, relink_files, rows, STAGE_LINKED, base, params=want_params
+    )
+    if rf.skipped:
+        # pure-deletion run: no increment to carry the params row
+        _commit_params_row(spark, base, STAGE_LINKED, want_params)
     return (
         StageRun(STAGE_LINKED, rf.run_id, rf.input_files, rf.output_rows, skipped=False, fingerprint=fp),
         mode,
@@ -388,7 +418,23 @@ def read_triples(spark: SparkSession, base: str) -> DataFrame:
 
 
 def read_linked(spark: SparkSession, base: str) -> DataFrame:
-    return read_stage_output(spark, base, STAGE_LINKED, schema=LINKED_TRIPLES)
+    return _read_incremental_or_legacy(spark, base, STAGE_LINKED, LINKED_TRIPLES)
+
+
+def _read_incremental_or_legacy(spark: SparkSession, base: str, stage: str, schema) -> DataFrame:
+    """Read a log-structured stage, falling back to the legacy snapshot
+    form when the base predates the r6 storage migration: a
+    pre-migration base has only a ``__SNAPSHOT__`` commit in its log,
+    so the per-file read alone would return SILENTLY EMPTY results for
+    a graph that is in fact stored.  Running the pipeline once migrates
+    the stage and retires this path."""
+    log = read_checkpoint_log(spark, base, stage)
+    has_files = (
+        log.filter(~F.col("repo").isin(COMMIT_MARK, PARAMS_MARK)).limit(1).count() > 0
+    )
+    if not has_files and snapshot_commit(spark, base, stage) is not None:
+        return read_snapshot(spark, base, stage, schema=schema)
+    return read_stage_output(spark, base, stage, schema=schema)
 
 
 def read_nodes(spark: SparkSession, base: str) -> DataFrame:
@@ -396,7 +442,7 @@ def read_nodes(spark: SparkSession, base: str) -> DataFrame:
 
 
 def read_edges(spark: SparkSession, base: str) -> DataFrame:
-    return read_stage_output(spark, base, STAGE_EDGES, schema=EDGES)
+    return _read_incremental_or_legacy(spark, base, STAGE_EDGES, EDGES)
 
 
 def graph_stats(spark: SparkSession, base: str) -> DataFrame:

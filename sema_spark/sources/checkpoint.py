@@ -41,6 +41,12 @@ from pyspark.sql import functions as F
 from sema_spark.schemas import CHECKPOINT, LINEAGE
 
 TOMBSTONE = "__DELETED__"
+# marker repos in the checkpoint log (never real files): snapshot commit
+# marks and per-stage params rows (the params a stage's stored rows were
+# computed under — committed ATOMICALLY with the increment's checkpoint
+# append, so a crash can never leave data claiming the wrong params)
+COMMIT_MARK = "__SNAPSHOT__"
+PARAMS_MARK = "__PARAMS__"
 
 _CKPT_RUN_SCHEMA = "stage string, repo string, path string, content_sha string, run_id string"
 
@@ -81,7 +87,13 @@ _ABSENT_OR_EMPTY = ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
 
 
 def _read_parquet(
-    spark: SparkSession, path: str, *, read_schema=None, empty_schema=None, codes=_ABSENT
+    spark: SparkSession,
+    path: str,
+    *,
+    read_schema=None,
+    empty_schema=None,
+    codes=_ABSENT,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read parquet; an AnalysisException matching ``codes`` returns an
     empty frame when ``empty_schema`` is given, otherwise propagates.
@@ -93,6 +105,8 @@ def _read_parquet(
 
     try:
         reader = spark.read.schema(read_schema) if read_schema is not None else spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         return reader.parquet(path)
     except AnalysisException as e:
         if empty_schema is not None and any(c in str(e) for c in codes):
@@ -123,13 +137,19 @@ def current_checkpoint(
     ``before_run``: time travel — the state as it was before that run
     committed (run_ids sort chronologically).  The data files of every
     run are retained until compaction, so any as-of state they anchor
-    remains readable; used by the incremental stage-2 maintenance to
-    reconstruct the exact input its previous snapshot was derived from.
+    remains readable (e.g. for reconstructing the exact input a derived
+    table was last computed from).
+
+    Marker rows (snapshot commit marks, params rows) are not files and
+    are excluded here; read them from :func:`read_checkpoint_log` /
+    :func:`latest_params`.
     """
     log = read_checkpoint_log(spark, base, stage)
     if before_run is not None:
         log = log.filter(F.col("run_id") < before_run)
-    latest = log.groupBy("stage", "repo", "path").agg(
+    latest = log.filter(~F.col("repo").isin(COMMIT_MARK, PARAMS_MARK)).groupBy(
+        "stage", "repo", "path"
+    ).agg(
         F.max_by(F.struct("content_sha", "run_id"), F.col("run_id")).alias("cur")
     )
     return latest.select(
@@ -205,6 +225,7 @@ def run_forced_incremental_stage(
     base: str,
     run_id: str | None = None,
     partition_cols: list[str] | None = None,
+    params: str | None = None,
 ) -> StageRun:
     """Commit an increment for an EXPLICIT file set — no anti-join: the
     caller decides which files to (re)process.  ``rows`` replace those
@@ -214,7 +235,14 @@ def run_forced_incremental_stage(
     untouched file can still change because a neighbor changed (the
     incremental stage-2 maintenance re-links alias-delta-affected
     files).  Same write order and crash contract as
-    :func:`run_incremental_stage`."""
+    :func:`run_incremental_stage`.
+
+    ``params``: the parameter string the rows were computed under —
+    committed as a ``PARAMS_MARK`` row INSIDE the same checkpoint
+    append, so it can never disagree with the data it describes (a
+    sidecar file written before or after the commit would open a crash
+    window where a later run skip-serves rows computed under the wrong
+    parameters).  Read it back with :func:`latest_params`."""
     run_id = run_id or new_run_id()
     files = files.select("repo", "path", "content_sha").distinct().persist()
     n_files = files.count()
@@ -223,11 +251,25 @@ def run_forced_incremental_stage(
         return StageRun(stage, run_id, 0, 0, skipped=True)
     try:
         n_rows = _commit_increment(
-            spark, base, stage, files, rows, run_id, partition_cols=partition_cols
+            spark, base, stage, files, rows, run_id, partition_cols=partition_cols, params=params
         )
     finally:
         files.unpersist()
     return StageRun(stage, run_id, n_files, n_rows, skipped=False)
+
+
+def latest_params(spark: SparkSession, base: str, stage: str) -> str | None:
+    """The params string of the stage's most recent committed increment
+    (None when the stage has never committed one — including legacy
+    snapshot-format stages)."""
+    rows = (
+        read_checkpoint_log(spark, base, stage)
+        .filter(F.col("repo") == PARAMS_MARK)
+        .orderBy(F.desc("run_id"))
+        .limit(1)
+        .collect()
+    )
+    return rows[0].content_sha if rows else None
 
 
 def _commit_increment(
@@ -238,6 +280,7 @@ def _commit_increment(
     rows: DataFrame,
     run_id: str,
     partition_cols: list[str] | None = None,
+    params: str | None = None,
 ) -> int:
     """Shared write tail: data → lineage → checkpoint (commit LAST; see
     module docstring for the crash contract)."""
@@ -262,9 +305,17 @@ def _commit_increment(
             _lineage_dir(base, stage)
         )
         # Checkpoint LAST — only now do this run's rows become visible.
-        files.select(
+        # The params marker rides the SAME append: visible iff the data is.
+        ckpt_rows = files.select(
             F.lit(stage).alias("stage"), "repo", "path", "content_sha", F.lit(run_id).alias("run_id")
-        ).write.mode("append").parquet(_ckpt_dir(base, stage))
+        )
+        if params is not None:
+            ckpt_rows = ckpt_rows.unionByName(
+                spark.createDataFrame(
+                    [(stage, PARAMS_MARK, PARAMS_MARK, params, run_id)], _CKPT_RUN_SCHEMA
+                )
+            )
+        ckpt_rows.write.mode("append").parquet(_ckpt_dir(base, stage))
     finally:
         out.unpersist()
     return n_rows
@@ -286,15 +337,35 @@ def read_stage_output(
 
     ``before_run``: the snapshot as of before that run committed (see
     :func:`current_checkpoint`).
+
+    When ``schema`` is given the scan uses it EXPLICITLY (plus run_id):
+    a stage dir can mix file generations after a storage-format
+    migration (e.g. pre-r6 edges lack content_sha), and inferred-schema
+    reads would nondeterministically adopt whichever footer Spark
+    samples — with the declared schema, columns missing from old files
+    read as null and the liveness join filters those rows out anyway.
     """
     data = _read_parquet(
-        spark, _data_dir(base, stage), empty_schema=schema, codes=_ABSENT_OR_EMPTY
+        spark,
+        _data_dir(base, stage),
+        read_schema=_with_run_id(schema),
+        empty_schema=schema,
+        codes=_ABSENT_OR_EMPTY,
     )
     if "run_id" not in data.columns:
         return data  # legitimately-empty stage: nothing to join
     ckpt = current_checkpoint(spark, base, stage, before_run=before_run)
     keys = ["repo", "path", "content_sha", "run_id"]
     return data.join(ckpt.select(*keys), on=keys, how="left_semi").drop("run_id")
+
+
+def _with_run_id(schema):
+    """Declared data schema + the run_id partition column (None → None)."""
+    if schema is None:
+        return None
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    return StructType(list(schema.fields) + [StructField("run_id", StringType(), False)])
 
 
 def stage_rows_for_keys(
@@ -316,7 +387,11 @@ def stage_rows_for_keys(
         .agg(F.max("run_id").alias("run_id"))
     )
     data = _read_parquet(
-        spark, _data_dir(base, stage), empty_schema=schema, codes=_ABSENT_OR_EMPTY
+        spark,
+        _data_dir(base, stage),
+        read_schema=_with_run_id(schema),
+        empty_schema=schema,
+        codes=_ABSENT_OR_EMPTY,
     )
     if "run_id" not in data.columns:
         return data
@@ -329,7 +404,10 @@ def logged_keys(spark: SparkSession, base: str, stage: str) -> DataFrame:
     prunes history."""
     return (
         read_checkpoint_log(spark, base, stage)
-        .filter((F.col("content_sha") != TOMBSTONE) & (F.col("repo") != _COMMIT_MARK))
+        .filter(
+            (F.col("content_sha") != TOMBSTONE)
+            & ~F.col("repo").isin(COMMIT_MARK, PARAMS_MARK)
+        )
         .select("repo", "path", "content_sha")
         .distinct()
     )
@@ -361,7 +439,7 @@ def delete_files(
 # entirely (the expensive content-scanning work is stage 1's, which IS
 # per-file incremental — derived tables are orders of magnitude smaller).
 
-_COMMIT_MARK = "__SNAPSHOT__"
+
 
 
 def input_fingerprint(keys: DataFrame) -> str:
@@ -388,8 +466,8 @@ def snapshot_commit(spark: SparkSession, base: str, stage: str) -> tuple[str, st
     ``stage``, or None if never committed.  The fingerprint is the full
     skip key — ``input_fingerprint(keys)`` plus any ``params`` suffix —
     letting callers decide whether a stored snapshot matches a given
-    input state (the incremental stage-2 maintenance compares it
-    against the as-of reconstruction before trusting delta logic)."""
+    input state (e.g. the pipeline's legacy-base read fallback checks
+    it before serving a pre-migration snapshot)."""
     last = _latest_commit(spark, base, stage)
     return None if last is None else (last.run_id, last.content_sha)
 
@@ -397,7 +475,7 @@ def snapshot_commit(spark: SparkSession, base: str, stage: str) -> tuple[str, st
 def _latest_commit(spark: SparkSession, base: str, stage: str):
     log = read_checkpoint_log(spark, base, stage)
     rows = (
-        log.filter(F.col("repo") == _COMMIT_MARK)
+        log.filter(F.col("repo") == COMMIT_MARK)
         .orderBy(F.desc("run_id"))
         .limit(1)
         .collect()
@@ -447,7 +525,7 @@ def run_snapshot_stage(
             _lineage_dir(base, stage)
         )
         spark.createDataFrame(
-            [(stage, _COMMIT_MARK, _COMMIT_MARK, fp, run_id)], _CKPT_RUN_SCHEMA
+            [(stage, COMMIT_MARK, COMMIT_MARK, fp, run_id)], _CKPT_RUN_SCHEMA
         ).write.mode("append").parquet(_ckpt_dir(base, stage))
     finally:
         out.unpersist()
@@ -545,6 +623,17 @@ def compact(spark: SparkSession, base: str, stage: str) -> str:
     ``materialize``/collected results rather than live scans."""
     rid = new_run_id()
     last = _latest_commit(spark, base, stage)
+    # a stage with ANY per-file rows is incremental — even if a LEGACY
+    # snapshot commit mark lingers from before a storage-format
+    # migration: preferring the mark here would rewrite the stage back
+    # to the stale snapshot and GC the live increments (r6 review)
+    has_file_rows = (
+        read_checkpoint_log(spark, base, stage)
+        .filter(~F.col("repo").isin(COMMIT_MARK, PARAMS_MARK))
+        .limit(1)
+        .count()
+        > 0
+    )
     if not any(
         "run_id=" in p.rsplit("/", 1)[-1] for p in _list_children(spark, _data_dir(base, stage))
     ):
@@ -558,14 +647,35 @@ def compact(spark: SparkSession, base: str, stage: str) -> str:
         p for p in _list_children(spark, _data_dir(base, stage)) if f"run_id={rid}" not in p
     ]
     old_ckpt = list(_list_children(spark, _ckpt_dir(base, stage)))
-    if last is not None:  # snapshot stage: keep only the committed run
+    if last is not None and not has_file_rows:  # snapshot stage
         live = read_snapshot(spark, base, stage).withColumn("run_id", F.lit(rid))
         ckpt_new = spark.createDataFrame(
-            [(stage, _COMMIT_MARK, _COMMIT_MARK, last.content_sha, rid)], _CKPT_RUN_SCHEMA
+            [(stage, COMMIT_MARK, COMMIT_MARK, last.content_sha, rid)], _CKPT_RUN_SCHEMA
         )
     else:  # incremental stage: keep rows referenced by the live checkpoint
-        live = read_stage_output(spark, base, stage).withColumn("run_id", F.lit(rid))
+        # merge footers: a migrated dir can mix file generations with
+        # different column sets, and compact has no declared schema to
+        # read under (maintenance op — the footer-listing cost is fine)
+        data = _read_parquet(
+            spark, _data_dir(base, stage), merge_schema=True, codes=_ABSENT_OR_EMPTY
+        )
+        ckpt = current_checkpoint(spark, base, stage)
+        jk = ["repo", "path", "content_sha", "run_id"]
+        live = (
+            data.join(ckpt.select(*jk), on=jk, how="left_semi")
+            .drop("run_id")
+            .withColumn("run_id", F.lit(rid))
+        )
         ckpt_new = current_checkpoint(spark, base, stage).withColumn("run_id", F.lit(rid))
+        # the params marker must survive compaction or the next
+        # maintenance run would needlessly distrust the stored rows
+        params = latest_params(spark, base, stage)
+        if params is not None:
+            ckpt_new = ckpt_new.unionByName(
+                spark.createDataFrame(
+                    [(stage, PARAMS_MARK, PARAMS_MARK, params, rid)], _CKPT_RUN_SCHEMA
+                )
+            )
     # (1) data append: read of the old state completes while writing
     live.write.mode("append").partitionBy("run_id", *extra_parts).parquet(_data_dir(base, stage))
     # (2) checkpoint append: the compacted run becomes current

@@ -170,10 +170,14 @@ def test_incremental_link_no_change_relinks_nothing(spark):
     t = extract_triples(corpus_df(spark, "xs")).persist()
     try:
         prev = link_triples(t).persist()
+        keys = t.select("repo", "path", "content_sha").distinct()
         try:
-            out = link_triples_incremental(t, t, prev)
-            assert out.count() == prev.count()
-            assert out.exceptAll(prev).count() == 0
+            # once with derived keys, once with caller-supplied key sets
+            # (the checkpoint-log fast path)
+            for kw in ({}, {"new_keys": keys, "prev_keys": keys}):
+                out = link_triples_incremental(t, t, prev, **kw)
+                assert out.count() == prev.count()
+                assert out.exceptAll(prev).count() == 0
         finally:
             prev.unpersist()
     finally:

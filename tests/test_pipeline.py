@@ -240,6 +240,101 @@ def test_edges_stage_write_volume_and_canon_flip(spark, tmp_path):
     assert live.filter(F.col("src").startswith("org0/proj0/src/dup_shared")).count() == 0
 
 
+def test_fuzzy_flip_forces_full_relink_and_params_survive_compact(spark, tmp_path):
+    """The params row commits atomically with the increment: a fuzzy
+    flip on an unchanged corpus must re-link (never skip-serve rows
+    computed under the other setting), flipping back must re-link
+    again, and compaction must preserve the params row so the next run
+    still trusts the store."""
+    from sema_spark.sources.checkpoint import compact, latest_params
+
+    src = corpus_df(spark, "xs").filter("repo = 'org0/proj0'")
+    base = str(tmp_path / "kg")
+    P.run_pipeline(spark, src, base, fuzzy=True)
+    assert latest_params(spark, base, "linked") == "fuzzy=True"
+
+    r = P.run_pipeline(spark, src, base, fuzzy=False)
+    assert not r.linked.skipped  # params mismatch → full re-link
+    assert latest_params(spark, base, "linked") == "fuzzy=False"
+    assert P.run_pipeline(spark, src, base, fuzzy=False).linked.skipped
+
+    before = P.read_linked(spark, base).count()
+    compact(spark, base, "linked")
+    assert latest_params(spark, base, "linked") == "fuzzy=False"
+    assert P.read_linked(spark, base).count() == before
+    assert P.run_pipeline(spark, src, base, fuzzy=False).linked.skipped
+
+
+def test_legacy_snapshot_base_reads_and_migrates(spark, tmp_path):
+    """A pre-r6 base stores linked/edges as SNAPSHOTS.  Reads must fall
+    back to the snapshot (not silently return empty), running the
+    pipeline must migrate the stage to per-file increments, and a
+    post-migration compact must keep the LIVE increments, not revert to
+    the stale legacy snapshot (the r6 review's data-loss scenario)."""
+    from sema_spark.operators.linking import link_triples
+    from sema_spark.operators.mentions import extract_triples, salted_repartition
+    from sema_spark.schemas import TRIPLES
+    from sema_spark.sources.checkpoint import (
+        compact,
+        read_stage_output,
+        run_incremental_stage,
+        run_snapshot_stage,
+    )
+
+    src = corpus_df(spark, "xs").filter("repo = 'org0/proj0'")
+    base = str(tmp_path / "kg")
+    # build a LEGACY-format stage 2 exactly as the pre-r6 code did
+    from sema_spark.operators.mentions import with_content_sha
+
+    run_incremental_stage(
+        spark, with_content_sha(src), "triples", base,
+        lambda p: extract_triples(salted_repartition(p, None)),
+    )
+    triples = read_stage_output(spark, base, "triples", schema=TRIPLES)
+    keys = triples.select("repo", "path", "content_sha").distinct()
+    run_snapshot_stage(
+        spark, keys, "linked", base, lambda: link_triples(triples, fuzzy=True),
+        params="fuzzy=True",
+    )
+    legacy_rows = P.read_linked(spark, base)
+    n_legacy = legacy_rows.count()
+    assert n_legacy > 0  # snapshot fallback, not silently empty
+
+    # legacy stage 3 + 4: pre-r6 edges had NO content_sha column, so the
+    # migrated data dir will mix schemas — reads must stay deterministic
+    from sema_spark.operators.canonicalize import canonical_edges, canonicalize_nodes
+    from sema_spark.operators.linking import build_nodes
+    from sema_spark.schemas import LINKED_TRIPLES, NODES
+    from sema_spark.sources.checkpoint import read_snapshot
+
+    run_snapshot_stage(
+        spark, keys, "nodes", base, lambda: canonicalize_nodes(build_nodes(triples)),
+        partition_cols=["kind"],
+    )
+    legacy_nodes = read_snapshot(spark, base, "nodes", schema=NODES)
+    run_snapshot_stage(
+        spark, keys, "edges", base,
+        lambda: canonical_edges(legacy_rows, legacy_nodes).drop("content_sha"),
+        partition_cols=["pred"], params="legacy",
+    )
+    n_legacy_edges = P.read_edges(spark, base).count()
+    assert n_legacy_edges > 0  # snapshot fallback for edges too
+
+    # first pipeline contact migrates stages 2 and 4 (and rebuilds 3)
+    r = P.run_pipeline(spark, src, base, incremental_link=True)
+    assert not r.linked.skipped and not r.edges.skipped
+    assert P.read_linked(spark, base).count() == n_legacy
+    assert P.read_edges(spark, base).count() == n_legacy_edges
+    # compact must keep the live increments (per-file branch wins even
+    # though the legacy __SNAPSHOT__ mark lingers in the log), and the
+    # mixed-schema edges dir must compact cleanly (mergeSchema)
+    compact(spark, base, "linked")
+    compact(spark, base, "edges")
+    assert P.read_linked(spark, base).count() == n_legacy
+    assert P.read_edges(spark, base).count() == n_legacy_edges
+    assert not P.run_pipeline(spark, src, base, incremental_link=True).any_work
+
+
 def test_flagship_who_imports(spark, kg):
     base, _, _ = kg
     got = {
