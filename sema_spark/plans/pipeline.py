@@ -55,11 +55,11 @@ from sema_spark.operators.mentions import (
 from sema_spark.schemas import EDGES, LINKED_TRIPLES, NODES, TRIPLES
 from sema_spark.sources.checkpoint import (
     COMMIT_MARK,
-    PARAMS_MARK,
     TOMBSTONE,
     StageRun,
+    commit_log_entries,
     current_checkpoint,
-    delete_files,
+    file_rows,
     input_fingerprint,
     latest_params,
     logged_keys,
@@ -177,40 +177,46 @@ def _run_edges_stage(
 
     * the file was re-linked since edges were last built (read from the
       LINKED LOG: every row with run_id past the high-water mark the
-      params sidecar recorded — robust to stage-4 lag across crashed
+      anchor row recorded — robust to stage-4 lag across crashed
       runs, not just "this run's" relinks), or
     * some entity in its rows changed canonical id — the old/new
       canonical-map diff, readable because the previous nodes SNAPSHOT
       run is retained until compaction (pruned history ⇒ fall back to
       full).
 
-    The sidecar pins (linked fp, nodes fp, linked-log high-water mark);
-    sidecar == target skips the stage outright — the same skip the old
-    snapshot params gave.  Deleted paths get stage-4 tombstones.
-    Canonicalization itself (stage 3) stays a snapshot: merge groups
-    span files (identical content in many repos), so the hub of a group
-    can flip from a change anywhere — the map diff is exactly how that
-    global effect re-enters the per-file world here."""
+    The ANCHOR — (linked fp, nodes fp, linked-log high-water mark) —
+    is a params row committed INSIDE the increment's checkpoint append
+    (never a sidecar file: a crash between two writes would let a later
+    run skip-serve stale rows or diff against the wrong nodes
+    snapshot); anchor == target skips the stage outright — the same
+    skip the old snapshot params gave.  Deleted paths get stage-4
+    tombstones in the same append.  Canonicalization itself (stage 3)
+    stays a snapshot: merge groups span files (identical content in
+    many repos), so the hub of a group can flip from a change anywhere
+    — the map diff is exactly how that global effect re-enters the
+    per-file world here."""
     import json
 
     from sema_spark.plans.materialize import materialize
 
     key_cols = ["repo", "path", "content_sha"]
     target = {"linked": fp_linked, "nodes": fp_nodes}
-    # the anchor rides the increment's own checkpoint append (a sidecar
-    # FILE written before or after the commit would open a crash window
-    # where a later run either skip-serves stale rows or anchors its
-    # canonical-map diff at the wrong snapshot — both r6 review finds)
     raw = latest_params(spark, base, STAGE_EDGES)
     try:
-        sidecar = json.loads(raw) if raw is not None else None
+        anchor = json.loads(raw) if raw is not None else None
     except ValueError:
-        sidecar = None
-    if sidecar is not None and {k: sidecar.get(k) for k in target} == target:
+        anchor = None
+    if anchor is not None and {k: anchor.get(k) for k in target} == target:
         return StageRun(STAGE_EDGES, "", 0, 0, skipped=True, fingerprint=fp_nodes)
     ekeys = current_checkpoint(spark, base, STAGE_EDGES).select(*key_cols)
-    if sidecar is None and ekeys.limit(1).count() == 0 and keys.limit(1).count() == 0:
-        # empty corpus, empty stage: nothing to commit a params row under
+    if (
+        anchor is None
+        and ekeys.limit(1).count() == 0
+        and keys.limit(1).count() == 0
+        and snapshot_commit(spark, base, STAGE_EDGES) is None
+    ):
+        # empty corpus, empty stage, no legacy snapshot a read fallback
+        # could mis-serve: nothing to do and nothing to mark
         return StageRun(STAGE_EDGES, "", 0, 0, skipped=True, fingerprint=fp_nodes)
 
     llog = read_checkpoint_log(spark, base, STAGE_LINKED)
@@ -218,12 +224,12 @@ def _run_edges_stage(
 
     mode = "full"
     old_cmap = None
-    if incremental and sidecar is not None and sidecar.get("linked_run") is not None:
+    if incremental and anchor is not None and anchor.get("linked_run") is not None:
         # the old canonical map: the nodes snapshot run whose committed
-        # fingerprint the sidecar recorded (None if compaction pruned it)
+        # fingerprint the anchor recorded (None if compaction pruned it)
         nlog = read_checkpoint_log(spark, base, STAGE_NODES)
         old_commit = (
-            nlog.filter((F.col("repo") == COMMIT_MARK) & (F.col("content_sha") == sidecar["nodes"]))
+            nlog.filter((F.col("repo") == COMMIT_MARK) & (F.col("content_sha") == anchor["nodes"]))
             .agg(F.max("run_id"))
             .collect()[0][0]
         )
@@ -247,10 +253,10 @@ def _run_edges_stage(
             .select("entity_id")
         )
         relinked_since = (
-            llog.filter(
-                (F.col("run_id") > sidecar["linked_run"])
+            file_rows(llog)
+            .filter(
+                (F.col("run_id") > anchor["linked_run"])
                 & (F.col("content_sha") != TOMBSTONE)
-                & ~F.col("repo").isin(COMMIT_MARK, PARAMS_MARK)
             )
             .select(*key_cols)
         )
@@ -273,37 +279,27 @@ def _run_edges_stage(
         refresh = keys
         rows = canonical_edges(linked, nodes)
 
-    # tombstones FIRST: the params commit below is the "stage is
-    # current" mark, so every other effect must land before it (a crash
-    # after the commit but before late tombstones would skip-serve
-    # deleted paths forever)
+    # tombstones + anchor ride the increment's own checkpoint append —
+    # no ordering of separate writes survives every crash point
     gone_paths = (
         ekeys.select("repo", "path")
         .distinct()
         .join(keys.select("repo", "path").distinct(), ["repo", "path"], "left_anti")
     )
-    if gone_paths.count():
-        delete_files(spark, base, STAGE_EDGES, gone_paths)
+    gp = gone_paths if gone_paths.count() else None
+    anchor_json = json.dumps({**target, "linked_run": lmax})
     rf = run_forced_incremental_stage(
         spark, refresh, rows, STAGE_EDGES, base, partition_cols=["pred"],
-        params=json.dumps({**target, "linked_run": lmax}),
+        params=anchor_json, tombstone_paths=gp,
     )
     if rf.skipped:
-        # an empty refresh set writes no checkpoint rows, so the params
-        # row must be committed on its own for the skip check to see
-        # this state as current (e.g. a pure-deletion run)
-        _commit_params_row(spark, base, STAGE_EDGES, json.dumps({**target, "linked_run": lmax}))
+        # an empty refresh set writes no checkpoint rows, so the anchor
+        # (and any tombstones) must commit in one standalone append
+        # (e.g. a pure-deletion run)
+        commit_log_entries(spark, base, STAGE_EDGES, params=anchor_json, tombstone_paths=gp)
     return StageRun(
         STAGE_EDGES, rf.run_id, rf.input_files, rf.output_rows, skipped=False, fingerprint=fp_nodes
     )
-
-
-def _commit_params_row(spark: SparkSession, base: str, stage: str, params: str) -> None:
-    from sema_spark.sources.checkpoint import _CKPT_RUN_SCHEMA, _ckpt_dir, new_run_id
-
-    spark.createDataFrame(
-        [(stage, PARAMS_MARK, PARAMS_MARK, params, new_run_id())], _CKPT_RUN_SCHEMA
-    ).write.mode("append").parquet(_ckpt_dir(base, stage))
 
 
 def _run_linked_stage(
@@ -359,10 +355,18 @@ def _run_linked_stage(
     changed = keys.join(lkeys, key_cols, "left_anti").transform(materialize)
     gone = lkeys.join(keys, key_cols, "left_anti").transform(materialize)
     n_changed, n_gone = changed.count(), gone.count()
-    if n_changed == 0 and n_gone == 0 and (params_ok or lkeys.limit(1).count() == 0):
+    if n_changed == 0 and n_gone == 0 and (
+        params_ok
+        or (
+            lkeys.limit(1).count() == 0
+            and snapshot_commit(spark, base, STAGE_LINKED) is None
+        )
+    ):
         # params_ok guards against skip-serving rows computed under a
         # different fuzzy flag; an empty stage over an empty corpus has
-        # no rows to mis-serve (and no increment to hang a params row on)
+        # no rows to mis-serve — UNLESS a legacy snapshot lingers (the
+        # read fallback would serve it), in which case fall through so
+        # the params-row commit below retires the fallback
         return StageRun(STAGE_LINKED, "", 0, 0, skipped=True, fingerprint=fp), "full"
 
     mode = "full"
@@ -392,21 +396,24 @@ def _run_linked_stage(
         to_link = triples
 
     rows = link_triples(to_link, nodes=build_nodes(triples), fuzzy=fuzzy)
-    # tombstones FIRST: the params-carrying commit below marks the
-    # stage current, so every other effect must land before it
+    # tombstones + params ride the increment's OWN checkpoint append —
+    # a separate tombstone write before a crashed commit would erase
+    # the `gone` state-diff this very function needs to recover (the
+    # r6 second-review finding), and one after it would strand deleted
+    # paths behind an already-current params row
     gone_paths = (
         gone.select("repo", "path")
         .distinct()
         .join(keys.select("repo", "path").distinct(), ["repo", "path"], "left_anti")
     )
-    if n_gone and gone_paths.count():
-        delete_files(spark, base, STAGE_LINKED, gone_paths)
+    gp = gone_paths if (n_gone and gone_paths.count()) else None
     rf = run_forced_incremental_stage(
-        spark, relink_files, rows, STAGE_LINKED, base, params=want_params
+        spark, relink_files, rows, STAGE_LINKED, base, params=want_params, tombstone_paths=gp
     )
     if rf.skipped:
-        # pure-deletion run: no increment to carry the params row
-        _commit_params_row(spark, base, STAGE_LINKED, want_params)
+        # pure-deletion run (or bare params refresh): no increment to
+        # carry the rows — commit them in one standalone append
+        commit_log_entries(spark, base, STAGE_LINKED, params=want_params, tombstone_paths=gp)
     return (
         StageRun(STAGE_LINKED, rf.run_id, rf.input_files, rf.output_rows, skipped=False, fingerprint=fp),
         mode,
@@ -427,12 +434,15 @@ def _read_incremental_or_legacy(spark: SparkSession, base: str, stage: str, sche
     pre-migration base has only a ``__SNAPSHOT__`` commit in its log,
     so the per-file read alone would return SILENTLY EMPTY results for
     a graph that is in fact stored.  Running the pipeline once migrates
-    the stage and retires this path."""
+    the stage and retires this path.
+
+    ANY new-format row — file rows OR a params marker — disables the
+    fallback: an empty corpus migrated over a legacy base commits only
+    a params row (there are no files to log), and falling back past it
+    would serve the stale pre-deletion snapshot forever."""
     log = read_checkpoint_log(spark, base, stage)
-    has_files = (
-        log.filter(~F.col("repo").isin(COMMIT_MARK, PARAMS_MARK)).limit(1).count() > 0
-    )
-    if not has_files and snapshot_commit(spark, base, stage) is not None:
+    has_new = log.filter(F.col("repo") != COMMIT_MARK).limit(1).count() > 0
+    if not has_new and snapshot_commit(spark, base, stage) is not None:
         return read_snapshot(spark, base, stage, schema=schema)
     return read_stage_output(spark, base, stage, schema=schema)
 

@@ -147,7 +147,7 @@ def current_checkpoint(
     log = read_checkpoint_log(spark, base, stage)
     if before_run is not None:
         log = log.filter(F.col("run_id") < before_run)
-    latest = log.filter(~F.col("repo").isin(COMMIT_MARK, PARAMS_MARK)).groupBy(
+    latest = file_rows(log).groupBy(
         "stage", "repo", "path"
     ).agg(
         F.max_by(F.struct("content_sha", "run_id"), F.col("run_id")).alias("cur")
@@ -217,6 +217,66 @@ def run_incremental_stage(
     return StageRun(stage, run_id, n_files, n_rows, skipped=False)
 
 
+def file_rows(log: DataFrame) -> DataFrame:
+    """The log restricted to REAL per-file rows — marker rows (snapshot
+    commit marks, params rows) excluded.  The one place the marker
+    predicate lives; every consumer filters through here so a future
+    marker kind cannot silently leak into file-level logic."""
+    return log.filter(~F.col("repo").isin(COMMIT_MARK, PARAMS_MARK))
+
+
+def commit_log_entries(
+    spark: SparkSession,
+    base: str,
+    stage: str,
+    params: str | None = None,
+    tombstone_paths: DataFrame | None = None,
+    run_id: str | None = None,
+) -> str:
+    """Append a params row and/or tombstone rows to the stage log in
+    ONE parquet append — atomic-per-reader like any commit.  Used when
+    there is no data increment to ride (e.g. a pure-deletion run);
+    increments carry these rows inside their own checkpoint append via
+    :func:`run_forced_incremental_stage`."""
+    run_id = run_id or new_run_id()
+    df = _log_entry_rows(spark, stage, run_id, params, tombstone_paths)
+    if df is not None:
+        df.write.mode("append").parquet(_ckpt_dir(base, stage))
+    return run_id
+
+
+def _log_entry_rows(
+    spark: SparkSession,
+    stage: str,
+    run_id: str,
+    params: str | None,
+    tombstone_paths: DataFrame | None,
+) -> DataFrame | None:
+    parts = []
+    if tombstone_paths is not None:
+        parts.append(
+            tombstone_paths.select(
+                F.lit(stage).alias("stage"),
+                "repo",
+                "path",
+                F.lit(TOMBSTONE).alias("content_sha"),
+                F.lit(run_id).alias("run_id"),
+            )
+        )
+    if params is not None:
+        parts.append(
+            spark.createDataFrame(
+                [(stage, PARAMS_MARK, PARAMS_MARK, params, run_id)], _CKPT_RUN_SCHEMA
+            )
+        )
+    if not parts:
+        return None
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
 def run_forced_incremental_stage(
     spark: SparkSession,
     files: DataFrame,
@@ -226,6 +286,7 @@ def run_forced_incremental_stage(
     run_id: str | None = None,
     partition_cols: list[str] | None = None,
     params: str | None = None,
+    tombstone_paths: DataFrame | None = None,
 ) -> StageRun:
     """Commit an increment for an EXPLICIT file set — no anti-join: the
     caller decides which files to (re)process.  ``rows`` replace those
@@ -237,12 +298,16 @@ def run_forced_incremental_stage(
     files).  Same write order and crash contract as
     :func:`run_incremental_stage`.
 
-    ``params``: the parameter string the rows were computed under —
-    committed as a ``PARAMS_MARK`` row INSIDE the same checkpoint
-    append, so it can never disagree with the data it describes (a
-    sidecar file written before or after the commit would open a crash
-    window where a later run skip-serves rows computed under the wrong
-    parameters).  Read it back with :func:`latest_params`."""
+    ``params``: the parameter string the rows were computed under.
+    ``tombstone_paths``: (repo, path) rows to mark deleted in the same
+    commit.  BOTH ride the increment's own checkpoint append — params,
+    tombstones, and the file rows become visible in one atomic-per-
+    reader write, so no crash ordering can leave the log claiming the
+    wrong parameters or (the r6 review's scenario) consume the
+    state-diff a rerun needs to recover: tombstones appended SEPARATELY
+    before a crashed commit would erase the ``gone`` diff while the
+    re-link they travelled with never landed.  Read params back with
+    :func:`latest_params`."""
     run_id = run_id or new_run_id()
     files = files.select("repo", "path", "content_sha").distinct().persist()
     n_files = files.count()
@@ -251,7 +316,15 @@ def run_forced_incremental_stage(
         return StageRun(stage, run_id, 0, 0, skipped=True)
     try:
         n_rows = _commit_increment(
-            spark, base, stage, files, rows, run_id, partition_cols=partition_cols, params=params
+            spark,
+            base,
+            stage,
+            files,
+            rows,
+            run_id,
+            partition_cols=partition_cols,
+            params=params,
+            tombstone_paths=tombstone_paths,
         )
     finally:
         files.unpersist()
@@ -281,6 +354,7 @@ def _commit_increment(
     run_id: str,
     partition_cols: list[str] | None = None,
     params: str | None = None,
+    tombstone_paths: DataFrame | None = None,
 ) -> int:
     """Shared write tail: data → lineage → checkpoint (commit LAST; see
     module docstring for the crash contract)."""
@@ -305,16 +379,14 @@ def _commit_increment(
             _lineage_dir(base, stage)
         )
         # Checkpoint LAST — only now do this run's rows become visible.
-        # The params marker rides the SAME append: visible iff the data is.
+        # Params and tombstones ride the SAME append: visible iff the
+        # data is.
         ckpt_rows = files.select(
             F.lit(stage).alias("stage"), "repo", "path", "content_sha", F.lit(run_id).alias("run_id")
         )
-        if params is not None:
-            ckpt_rows = ckpt_rows.unionByName(
-                spark.createDataFrame(
-                    [(stage, PARAMS_MARK, PARAMS_MARK, params, run_id)], _CKPT_RUN_SCHEMA
-                )
-            )
+        extra = _log_entry_rows(spark, stage, run_id, params, tombstone_paths)
+        if extra is not None:
+            ckpt_rows = ckpt_rows.unionByName(extra)
         ckpt_rows.write.mode("append").parquet(_ckpt_dir(base, stage))
     finally:
         out.unpersist()
@@ -403,11 +475,8 @@ def logged_keys(spark: SparkSession, base: str, stage: str) -> DataFrame:
     (tombstones excluded) — superset of the live state until compaction
     prunes history."""
     return (
-        read_checkpoint_log(spark, base, stage)
-        .filter(
-            (F.col("content_sha") != TOMBSTONE)
-            & ~F.col("repo").isin(COMMIT_MARK, PARAMS_MARK)
-        )
+        file_rows(read_checkpoint_log(spark, base, stage))
+        .filter(F.col("content_sha") != TOMBSTONE)
         .select("repo", "path", "content_sha")
         .distinct()
     )
@@ -623,23 +692,17 @@ def compact(spark: SparkSession, base: str, stage: str) -> str:
     ``materialize``/collected results rather than live scans."""
     rid = new_run_id()
     last = _latest_commit(spark, base, stage)
-    # a stage with ANY per-file rows is incremental — even if a LEGACY
-    # snapshot commit mark lingers from before a storage-format
-    # migration: preferring the mark here would rewrite the stage back
-    # to the stale snapshot and GC the live increments (r6 review)
-    has_file_rows = (
-        read_checkpoint_log(spark, base, stage)
-        .filter(~F.col("repo").isin(COMMIT_MARK, PARAMS_MARK))
-        .limit(1)
-        .count()
-        > 0
-    )
     if not any(
         "run_id=" in p.rsplit("/", 1)[-1] for p in _list_children(spark, _data_dir(base, stage))
     ):
         # legitimately-empty stage (zero-row runs write no files): nothing
         # to rewrite and no schema to infer — no-op
         return rid
+    # a stage with ANY per-file rows is incremental — even if a LEGACY
+    # snapshot commit mark lingers from before a storage-format
+    # migration: preferring the mark here would rewrite the stage back
+    # to the stale snapshot and GC the live increments (r6 review)
+    has_file_rows = file_rows(read_checkpoint_log(spark, base, stage)).limit(1).count() > 0
     # preserve the stage's partition layout below run_id — writing a
     # different depth would make the directory unreadable mid-GC
     extra_parts = _partition_cols_of(spark, _data_dir(base, stage))
@@ -670,12 +733,9 @@ def compact(spark: SparkSession, base: str, stage: str) -> str:
         # the params marker must survive compaction or the next
         # maintenance run would needlessly distrust the stored rows
         params = latest_params(spark, base, stage)
-        if params is not None:
-            ckpt_new = ckpt_new.unionByName(
-                spark.createDataFrame(
-                    [(stage, PARAMS_MARK, PARAMS_MARK, params, rid)], _CKPT_RUN_SCHEMA
-                )
-            )
+        extra = _log_entry_rows(spark, stage, rid, params, None)
+        if extra is not None:
+            ckpt_new = ckpt_new.unionByName(extra)
     # (1) data append: read of the old state completes while writing
     live.write.mode("append").partitionBy("run_id", *extra_parts).parquet(_data_dir(base, stage))
     # (2) checkpoint append: the compacted run becomes current

@@ -335,6 +335,74 @@ def test_legacy_snapshot_base_reads_and_migrates(spark, tmp_path):
     assert not P.run_pipeline(spark, src, base, incremental_link=True).any_work
 
 
+def test_deletion_wave_commits_tombstones_atomically_with_relinks(spark, tmp_path):
+    """A deletion's stage-2 tombstones and the re-link of its
+    alias-affected files must land in ONE checkpoint append (same
+    run_id): separate writes opened a crash window where the tombstone
+    erased the `gone` diff while the re-link never landed, and the
+    rerun skipped forever (r6 review)."""
+    from sema_spark.sources.checkpoint import TOMBSTONE, delete_files, read_checkpoint_log
+
+    src = corpus_df(spark, "xs").filter("repo = 'org0/proj0'")
+    base = str(tmp_path / "kg")
+    P.run_pipeline(spark, src, base, incremental_link=True)
+    delete_files(
+        spark, base, "triples",
+        spark.createDataFrame([("org0/proj0", "src/m1.py")], "repo string, path string"),
+    )
+    shrunk = src.filter(~(F.col("path") == "src/m1.py"))
+    r = P.run_pipeline(spark, shrunk, base, incremental_link=True)
+    assert r.link_mode == "delta" and not r.linked.skipped
+
+    log = read_checkpoint_log(spark, base, "linked")
+    tomb = log.filter(F.col("content_sha") == TOMBSTONE)
+    assert {x.path for x in tomb.collect()} == {"src/m1.py"}
+    tomb_run = tomb.collect()[0].run_id
+    # the relinked files' rows share the tombstone's run_id
+    relinked = log.filter((F.col("run_id") == tomb_run) & (F.col("content_sha") != TOMBSTONE))
+    assert relinked.filter(~F.col("repo").startswith("__")).count() > 0
+
+
+def test_legacy_base_emptied_corpus_serves_empty_not_stale(spark, tmp_path):
+    """Legacy snapshot base whose corpus empties out: the run must NOT
+    silently skip, and reads must stop falling back to the stale
+    snapshot once the migration commits (even though an empty corpus
+    logs no file rows — the params row retires the fallback)."""
+    from sema_spark.operators.linking import link_triples
+    from sema_spark.operators.mentions import extract_triples, salted_repartition, with_content_sha
+    from sema_spark.schemas import REPOS, TRIPLES
+    from sema_spark.sources.checkpoint import (
+        delete_files,
+        read_stage_output,
+        run_incremental_stage,
+        run_snapshot_stage,
+    )
+
+    src = corpus_df(spark, "xs").filter("repo = 'org0/proj0'")
+    base = str(tmp_path / "kg")
+    run_incremental_stage(
+        spark, with_content_sha(src), "triples", base,
+        lambda p: extract_triples(salted_repartition(p, None)),
+    )
+    triples = read_stage_output(spark, base, "triples", schema=TRIPLES)
+    keys = triples.select("repo", "path", "content_sha").distinct()
+    run_snapshot_stage(
+        spark, keys, "linked", base, lambda: link_triples(triples, fuzzy=True),
+        params="fuzzy=True",
+    )
+    assert P.read_linked(spark, base).count() > 0  # legacy fallback serves it
+
+    # empty the corpus: tombstone every file, then run on an empty source
+    delete_files(spark, base, "triples", src.select("repo", "path").distinct())
+    empty = spark.createDataFrame([], REPOS)
+    r = P.run_pipeline(spark, empty, base, incremental_link=True)
+    assert not r.linked.skipped  # must migrate, not skip past the legacy snapshot
+    assert P.read_linked(spark, base).count() == 0
+    assert P.read_edges(spark, base).count() == 0
+    # and the state is now stable
+    assert not P.run_pipeline(spark, empty, base, incremental_link=True).any_work
+
+
 def test_flagship_who_imports(spark, kg):
     base, _, _ = kg
     got = {
