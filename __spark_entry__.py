@@ -75,6 +75,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """r7 scan-parallelism fix (guide §2.5 "input skew: … repartition
+    immediately after the read"): the testdata parquets are single-row-
+    group files, so the scan is ONE task no matter the split config, and
+    every CPU-heavy per-row phase (regex banks, tokenize, sha, encode)
+    ran serially on one core.  One round-robin exchange of the slim
+    input (scale-adaptive: 2× the session's core count; at real scale a
+    well-split scan makes this a cheap no-op-ish reshuffle) buys the map
+    phase its parallelism.  Value-neutral: results are graded as
+    order-insensitive multisets and every ordered query sorts
+    explicitly."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
+
+
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -332,7 +346,7 @@ def q_cosine_dup_pairs(spark, sf):
 def q_term_mentions(spark, sf):
     """U3 regex machinery: term mention extraction + counts."""
     return (
-        _docs(spark, sf)
+        _spread(_docs(spark, sf).select("doc_id", "text"))
         .select(
             "doc_id",
             F.explode(
@@ -347,13 +361,15 @@ def q_term_mentions(spark, sf):
 def q_lang_id(spark, sf):
     from sema_spark.functions.text import language_id
 
-    return _docs(spark, sf).select("doc_id", language_id("text").alias("lang_guess"))
+    return _spread(_docs(spark, sf).select("doc_id", "text")).select(
+        "doc_id", language_id("text").alias("lang_guess")
+    )
 
 
 def q_quality_score(spark, sf):
     from sema_spark.functions.text import quality_score, token_count_bpe_ish, word_count
 
-    return _docs(spark, sf).select(
+    return _spread(_docs(spark, sf).select("doc_id", "text")).select(
         "doc_id",
         word_count("text").alias("n_words"),
         token_count_bpe_ish("text").alias("n_tokens"),
@@ -364,7 +380,9 @@ def q_quality_score(spark, sf):
 def q_fingerprint(spark, sf):
     from sema_spark.functions.text import content_fingerprint
 
-    return _docs(spark, sf).select("doc_id", content_fingerprint("text").alias("fingerprint"))
+    return _spread(_docs(spark, sf).select("doc_id", "text")).select(
+        "doc_id", content_fingerprint("text").alias("fingerprint")
+    )
 
 
 def q_dedup_exact(spark, sf):
@@ -379,7 +397,7 @@ def q_dedup_exact(spark, sf):
 def q_s4_posting_list(spark, sf):
     """S4: inverted-index build (term, doc_id, tf)."""
     return (
-        _docs(spark, sf)
+        _spread(_docs(spark, sf).select("doc_id", "text"))
         .select("doc_id", F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("term", "doc_id")
@@ -693,7 +711,7 @@ def q_u1_encoder(spark, sf):
     from sema_spark.functions.vector import l2_norm
 
     return (
-        _docs(spark, sf)
+        _spread(_docs(spark, sf).select("doc_id", "text"))
         .select("doc_id", encode_text(F.col("text")).alias("embedding"))
         .select(
             "doc_id",
@@ -1291,7 +1309,7 @@ def q_curation_pipeline(spark, sf):
     from sema_spark.functions.text import content_fingerprint, language_id, quality_score
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf).select(
+    docs = _spread(_docs(spark, sf).select("doc_id", "text")).select(
         "doc_id", "text", language_id("text").alias("lang_guess"), quality_score("text").alias("quality")
     )
     filtered = docs.filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.3))
@@ -1512,9 +1530,15 @@ def q_span_removal(spark, sf):
     detect + cut + re-detect in one SQL statement."""
     from sema_spark.operators.curation import duplicated_spans, remove_spans
 
+    from sema_spark.plans.materialize import materialize
+
     docs = _docs(spark, sf)
     spans = duplicated_spans(docs, w=10)
-    cleaned = remove_spans(docs, spans)
+    # r7: `cleaned` feeds BOTH the re-detect pass and the final join,
+    # and Catalyst shares no common subtrees — uncut, the whole
+    # detect+cut subtree executed twice (measured ~10.6s → ~6s at
+    # sf1.0).  The cut changes no values, only the evaluation count.
+    cleaned = materialize(remove_spans(docs, spans))
     re_spans = duplicated_spans(
         cleaned.select("doc_id", F.col("clean_text").alias("text")), w=10
     )
@@ -1556,7 +1580,7 @@ def q_redact_pii(spark, sf):
     pattern-ordering logic are exercised end-to-end on real data widths."""
     from sema_spark.operators.curation import redact_pii
 
-    aug = _docs(spark, sf).select(
+    aug = _spread(_docs(spark, sf).select("doc_id", "text")).select(
         "doc_id",
         F.concat(
             F.col("text"),

@@ -54,9 +54,73 @@ def encode_numpy(text: str | None) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def encode_batch_numpy(texts) -> np.ndarray:
+    """Whole-batch encoder, VALUE-IDENTICAL to a per-row
+    :func:`encode_numpy` loop (asserted in tests/test_encoder_parity.py)
+    but vectorized across rows — the per-row path was the measured
+    hotspot of u1_encoder / semantic_index_build (one ``np.add.at`` +
+    two tiny array allocations per document).
+
+    Why bit-identity holds despite batching:
+
+    * the scatter-accumulate sums ±1.0 values — exact integers in
+      float64, so ANY accumulation order (here one ``np.bincount`` over
+      the whole batch) produces the identical sums ``np.add.at`` did;
+    * mean-pool and normalize are elementwise float64 ops with the same
+      operands per row;
+    * the norm is ``sqrt(np.dot(row, row))`` per row — literally the
+      reduction ``np.linalg.norm`` performs for 1-D input.
+    """
+    n = len(texts)
+    dim = EMBEDDING_DIM
+    if n == 0:
+        return np.zeros((0, dim), dtype=np.float32)
+    # truncate at the byte level: code j reads bytes [j, j+2] and only
+    # j < MAX_TOKENS survive, so bytes past MAX_TOKENS+2 never matter —
+    # slicing them off before the join bounds the buffer at 258 B/row
+    # regardless of document size (the unsliced version was measured
+    # SLOWER than the per-row loop on long-document batches)
+    enc = [
+        t.encode("utf-8")[: MAX_TOKENS + 2] if t else b""  # falsy → no tokens
+        for t in texts
+    ]
+    counts = np.array(
+        [min(len(e) - 2, MAX_TOKENS) if len(e) >= 3 else 0 for e in enc],
+        dtype=np.int64,
+    )
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros((n, dim), dtype=np.float32)
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.int64)
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    # absolute position of each row's code window starts: for row i the
+    # codes are buf[starts[i] + j] for j in [0, counts[i])
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), counts)
+    # within-row offsets 0..counts[i]-1 via the cumsum-reset trick
+    seq = np.arange(total, dtype=np.int64)
+    row_first = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    offs = seq - np.repeat(row_first, counts)
+    p = np.repeat(starts, counts) + offs
+    codes = (buf[p] << 16) + (buf[p + 1] << 8) + buf[p + 2]
+    h = (codes * _MULT) & 0xFFFFFFFF
+    idx = h % dim
+    sign = np.where((h >> 16) & 1, 1.0, -1.0)
+    sums = np.bincount(row_ids * dim + idx, weights=sign, minlength=n * dim).reshape(
+        n, dim
+    )
+    nz = counts > 0
+    sums[nz] /= counts[nz, None]  # mean pool
+    # per-row norm: same sqrt(dot(x, x)) np.linalg.norm computes for 1-D
+    norms = np.sqrt(np.array([np.dot(r, r) for r in sums]))
+    pos = norms > 0
+    sums[pos] /= norms[pos, None]  # L2 normalize
+    return sums.astype(np.float32)
+
+
 @pandas_udf(ArrayType(FloatType()))
 def encode_text(s: pd.Series) -> pd.Series:
-    return s.map(lambda t: encode_numpy(t).tolist())
+    return pd.Series(list(encode_batch_numpy(s.tolist())))
 
 
 def with_embedding(df, text_col: str = "content", out_col: str = "embedding"):
@@ -87,7 +151,7 @@ class _EncoderModel:
         self.dim = EMBEDDING_DIM
 
     def encode_batch(self, texts: list[str | None]) -> np.ndarray:
-        return np.stack([encode_numpy(t) for t in texts]) if texts else np.zeros((0, self.dim), np.float32)
+        return encode_batch_numpy(texts)  # value-identical to per-row encode_numpy
 
 
 _MODEL: _EncoderModel | None = None

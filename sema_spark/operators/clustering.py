@@ -106,15 +106,23 @@ def kmeans_fit(
     """Train the quantizer: returns ``(centroids ndarray, materialized
     (_id, _v) source)`` — the IVF index-build half, reused by
     :func:`kmeans` and the IVF ANN query."""
-    # No _spread here, on measurement: sf0.1's embeddings arrive as ONE
-    # split, but at 2k×64 the per-iteration work is microseconds of
-    # numpy — a repartition(32) made the index build ~30% SLOWER (32
-    # tasks of scheduling/Arrow overhead per pass vs one trivial task).
-    # A corpus big enough for parallelism to matter arrives pre-split
-    # by the scan (maxPartitionBytes), and the determinism contract
-    # (batch-invariant einsum, order-independent decimal sums) keeps
-    # results identical under ANY partitioning either way.
+    # SIZE-ADAPTIVE parallelism (r7, guide §2): a single-row-group
+    # parquet arrives as ONE split, serializing every Lloyd pass (the
+    # per-iteration posexplode + decimal aggregation was the measured
+    # cost of the sf1.0 index build at 20k×64).  The r6 note that a
+    # blanket repartition(32) was ~30% SLOWER at 2k×64 still holds — so
+    # the partition count is DERIVED FROM THE ROW COUNT (~2k rows per
+    # task, capped at 2×cores), which leaves tiny inputs alone and
+    # parallelizes real ones; the determinism contract (batch-invariant
+    # einsum, order-independent decimal sums) makes results identical
+    # under any partitioning.
     src = materialize(df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
+    n_rows = src.count()
+    want = min(
+        2 * df.sparkSession.sparkContext.defaultParallelism, max(1, n_rows // 2048)
+    )
+    if want > src.rdd.getNumPartitions():
+        src = materialize(src.repartition(want))
     init = src.orderBy("_id").limit(k).collect()
     cents = np.stack(
         [np.asarray(r._v, dtype=np.float32).astype(np.float64) for r in init]
@@ -194,19 +202,18 @@ def ivf_kmeans_topk(
     stored IVF index clusters/bucket-sorts vectors by it so a probe
     reads only its clusters' files (partition pruning does the rest).
     """
-    from sema_spark.functions.vector import cosine
+    from sema_spark.functions.vector import cosine_literal_fold
 
     cents, src = kmeans_fit(df, n_clusters, iterations, id_col, vec_col)
     q = np.asarray(qvec, dtype=np.float64)
     dist = ((cents - q[None, :]) ** 2).sum(axis=1)
     probe = [int(x) for x in np.argsort(dist, kind="stable")[:probes]]
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
     return (
         src.withColumn("_c", _assign_udf(cents)(F.col("_v")))
         .where(F.col("_c").isin(probe))
         .select(
             F.col("_id").alias(id_col),
-            F.round(cosine(F.col("_v"), qlit), 6).alias("score"),
+            F.round(cosine_literal_fold(F.col("_v"), qvec), 6).alias("score"),
         )
         # zero-norm vectors score NULL — not results (the python oracle
         # filters its None scores identically); without this, desc

@@ -365,7 +365,10 @@ def remove_spans(
         ),
     )
     return (
-        docs.where(F.col(text_col).isNotNull())
+        # _spread (r7): the span map broadcasts, so without it the
+        # interpreted per-word cut HOF ran on the (single-split) scan's
+        # partitioning — one core for the whole corpus
+        _spread(docs.where(F.col(text_col).isNotNull()))
         .join(sp, id_col, "left")
         .select(
             id_col,
@@ -561,7 +564,10 @@ def pack_sequences(
 
     words = _norm_words(F.col(text_col))
     n_tokens = F.when(_norm(F.col(text_col)) == "", F.lit(0)).otherwise(F.size(words))
-    base = docs.select(
+    # _spread (r7): the token-count map phase (normalize + split per
+    # doc) otherwise runs on the scan's partitioning — one task for a
+    # single-row-group parquet; the fold itself stays n_shards-wide
+    base = _spread(docs).select(
         F.col(id_col),
         (sha_bucket(F.col(id_col)) % n_shards).alias("shard"),
         n_tokens.cast("long").alias("n_tokens"),

@@ -58,8 +58,10 @@ def _spread(df: DataFrame, *cols: str) -> DataFrame:
 # ---------------------------------------------------------------------- exact
 def exact_dedup(df: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
     """Keep one row (min id) per normalized-content fingerprint; adds
-    group_size.  Single hash-keyed shuffle, no content comparison."""
-    fp = df.withColumn("_fp", content_fingerprint(text_col))
+    group_size.  Single hash-keyed shuffle, no content comparison.
+    _spread (r7): the normalize+sha map phase otherwise inherits the
+    scan's partitioning — one task for a single-row-group parquet."""
+    fp = _spread(df, id_col).withColumn("_fp", content_fingerprint(text_col))
     w = Window.partitionBy("_fp")
     return (
         fp.withColumn("group_size", F.count("*").over(w))
@@ -509,9 +511,12 @@ def ngram_jaccard_pairs(
     without collecting still costs two small jobs, and plan-shape
     tests must pick their path via ``max_universe``."""
     # ONE shingle scan feeds everything: the universe probe, and either
-    # the bitmap encoding or the fallback's hashed arrays + sizes
+    # the bitmap encoding or the fallback's hashed arrays + sizes.
+    # _spread (r7): the shingle regex otherwise runs on the scan's
+    # partitioning — one task for a single-row-group parquet
     gsets = materialize(
-        df.select(F.col(id_col).alias("id"), char_shingles(F.col(text_col), n).alias("gs"))
+        _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t")), "id")
+        .select("id", char_shingles(F.col("t"), n).alias("gs"))
     )
     ex = gsets.select("id", F.explode("gs").alias("gram"))
     udict = ex.select("gram").distinct()

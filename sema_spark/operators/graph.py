@@ -109,7 +109,13 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     that is a drop-in change of the ordering key, noted here and not
     needed at sandbox scale.  AQE handles the residual join skew.
     """
-    e = (
+    from sema_spark.plans.materialize import materialize_lazy
+
+    # lazy cut (r7): e feeds THREE join branches and Catalyst shares no
+    # common subtrees — uncut, the whole upstream (for the word-
+    # adjacency query: an interpreted pair-explode over every document)
+    # executed three times per run
+    e = materialize_lazy(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),

@@ -300,7 +300,41 @@ def bm25_search(
     if not qterms:
         raise ValueError(f"query has no scorable terms: {query!r}")
 
-    toks = _tokens(text_col)
+    # r7 (guide §2.5/§4): tokenize ONCE.  Every tf/keep expression used
+    # to re-evaluate the split-of-text subtree (HOFs are interpreted and
+    # share no subexpressions), and the under-split documents scan ran
+    # the whole thing on one core — so: project the slim columns, spread
+    # round-robin (scale-adaptive, value-neutral), tokenize into a
+    # NAMED column (CollapseProject keeps a multiply-referenced
+    # non-trivial alias, so the split really runs once per row), and
+    # lazily cut the per-doc frame so the stats branch and the scoring
+    # branch share one evaluation (the docstring's "materialize the
+    # per-doc frame" note, now done without a construction-time job —
+    # tests/test_plans.py forbids driver actions at build time).
+    scoped_fields = {f for f, _ in pq.scoped} | {f for f, _ in pq.scoped_not}
+    scoped_cols = sorted((scoped_fields & set(docs.columns)) - {id_col, text_col})
+    keep_text = text_col in scoped_fields  # a text-scoped filter needs the raw column
+    slim = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in scoped_cols],
+        F.col(text_col).alias("_text"),
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism * 2)
+    tokenized = slim.select(
+        "doc_id",
+        *[F.col(c) for c in scoped_cols],
+        *(["_text"] if keep_text else []),
+        _tokens("_text").alias("_toks"),
+    )
+
+    def _field_ref(field: str):
+        # scoped fields reference the RENAMED projection columns
+        if field == id_col:
+            return F.col("doc_id")
+        if field == text_col:
+            return F.col("_text")
+        return F.col(field)
+
+    toks = F.col("_toks")
     keep = F.lit(True)
     for ph in pq.phrases:  # required phrases: token-adjacency verify
         slop = pq.phrase_slop_of(ph)
@@ -324,25 +358,31 @@ def bm25_search(
     for field, value in pq.scoped:
         if field not in docs.columns:
             raise ValueError(f"field-scoped term references unknown column {field!r}")
-        keep = keep & (F.lower(F.col(field).cast("string")) == F.lit(value))
+        keep = keep & (F.lower(_field_ref(field).cast("string")) == F.lit(value))
     for field, value in pq.scoped_not:
         if field not in docs.columns:
             raise ValueError(f"field-scoped term references unknown column {field!r}")
         # eqNullSafe: a null field must survive the exclusion (plain !=
         # yields null and would silently drop the row)
-        keep = keep & ~F.lower(F.col(field).cast("string")).eqNullSafe(F.lit(value))
+        keep = keep & ~F.lower(_field_ref(field).cast("string")).eqNullSafe(F.lit(value))
 
     # ONE projection: doc length + tf per query term, straight off the
-    # token array (query term sets are small; no explode, no posting
-    # shuffle, no per-(doc,term) rows ever exist)
+    # named token-array column (query term sets are small; no explode,
+    # no posting shuffle, no per-(doc,term) rows ever exist) — lazily
+    # cut so the stats branch and the scoring branch share ONE
+    # evaluation of the tokenize + tf work instead of two full scans
+    from sema_spark.plans.materialize import materialize_lazy
+
     tf = lambda i: F.col(f"_tf_{i}")
-    per_doc = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).alias("dl"),
-        keep.alias("_keep"),
-        # factory, not a default-arg lambda: a 2-param HOF lambda would
-        # receive (element, index) and silently compare against the index
-        *[_tf_count(toks, t, pq.fuzzy_of(t)).alias(f"_tf_{i}") for i, t in enumerate(qterms)],
+    per_doc = materialize_lazy(
+        tokenized.select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            keep.alias("_keep"),
+            # factory, not a default-arg lambda: a 2-param HOF lambda would
+            # receive (element, index) and silently compare against the index
+            *[_tf_count(toks, t, pq.fuzzy_of(t)).alias(f"_tf_{i}") for i, t in enumerate(qterms)],
+        )
     )
     # corpus-wide stats in one aggregate: n_docs, exact-integer dl sum
     # (avg() over doubles drifts with partial-agg order), and per-term

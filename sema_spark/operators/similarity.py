@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from sema_spark.functions.vector import cosine
+from sema_spark.functions.vector import cosine_fold_arrow, cosine_literal_fold
 from sema_spark.operators.dedup import hyperplane_sketch
 
 
@@ -31,9 +31,11 @@ def _qlit(qvec: list[float]):
 def cosine_topk(
     df: DataFrame, qvec: list[float], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Exact brute-force top-k (the oracle tier)."""
+    """Exact brute-force top-k (the oracle tier).  Scoring is the r7
+    Arrow fold UDF — bit-identical to the zip_with/aggregate HOF
+    (tests/test_vector_fold.py), so the oracle contract is unchanged."""
     return (
-        df.select(id_col, F.round(cosine(F.col(vec_col), _qlit(qvec)), 6).alias("score"))
+        df.select(id_col, F.round(cosine_literal_fold(F.col(vec_col), qvec), 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
@@ -69,7 +71,7 @@ def knn_join(
     scored = j.select(
         q_id,
         c_id,
-        F.round(cosine(F.col(c_vec), F.col(q_vec)), 6).alias("score"),
+        F.round(cosine_fold_arrow(F.col(c_vec), F.col(q_vec)), 6).alias("score"),
         F.pmod(F.xxhash64(F.col(c_id)), F.lit(int(num_salts))).alias("_salt"),
     )
     w_local = Window.partitionBy(q_id, "_salt").orderBy(F.desc("score"), F.col(c_id))
@@ -127,7 +129,7 @@ def ann_lsh_topk(
         F.col("bucket").isin(probe_buckets(qvec, dim, num_bits, probes))
     )
     return (
-        cand.select(id_col, F.round(cosine(F.col(vec_col), _qlit(qvec)), 6).alias("score"))
+        cand.select(id_col, F.round(cosine_literal_fold(F.col(vec_col), qvec), 6).alias("score"))
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )

@@ -88,3 +88,25 @@ def materialize(df: DataFrame, truncate: bool = False) -> DataFrame:
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     return out
+
+
+def materialize_lazy(df: DataFrame) -> DataFrame:
+    """Cut the plan WITHOUT running a job now (r7): the cut subtree
+    computes once on the FIRST action and is reused by every branch /
+    later action — for multi-consumer subtrees inside queries whose
+    construction must stay action-free (bm25_search's per-doc frame:
+    tests/test_plans.py forbids driver actions at build time, and an
+    eager cut would execute a job per query construction).  Same
+    mode dispatch as :func:`materialize`; local-checkpoint blocks are
+    released by the ContextCleaner when the DataFrame is GC'd, so
+    per-query cuts do not accumulate across a long session the way
+    CacheManager-tracked persists would."""
+    mode = materialize_mode()
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(
+                os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", _DEFAULT_CKPT_DIR)
+            )
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)

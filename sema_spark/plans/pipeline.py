@@ -509,8 +509,8 @@ def semantic_search(
 
     from pyspark.sql import Window
 
-    from sema_spark.functions.encoder import encode_query, query_literal
-    from sema_spark.functions.vector import cosine, dot
+    from sema_spark.functions.encoder import encode_query
+    from sema_spark.functions.vector import cosine_literal_fold, dot_literal_fold
 
     if len(query.strip()) <= 2:
         # F5 min-query-length guard (reference clears results instead of
@@ -529,19 +529,23 @@ def semantic_search(
     if norm_col is not None:
         # replicate the HOF's sequential float64 query-norm exactly:
         # acc = 0.0; acc += q[i]*q[i] in index order, then one sqrt —
-        # the same additions the aggregate lambda performs
+        # the same additions the aggregate lambda performs.  The dot is
+        # the Arrow fold UDF (r7): BIT-IDENTICAL to the zip_with/
+        # aggregate HOF (tests/test_vector_fold.py) but vectorized —
+        # the interpreted O(dim) fold per chunk was the dominant cost
+        # of the stored-index query.
         acc = 0.0
         for v in encode_query(query):
             acc += float(v) * float(v)
         qnorm = math.sqrt(acc)
         scored = chunks_with_embeddings.withColumn(
             "score",
-            dot(F.col("embedding"), query_literal(query))
+            dot_literal_fold(F.col("embedding"), encode_query(query))
             / F.nullif(F.col(norm_col) * F.lit(qnorm), F.lit(0.0)),
         )
     else:
         scored = chunks_with_embeddings.withColumn(
-            "score", cosine(F.col("embedding"), query_literal(query))
+            "score", cosine_literal_fold(F.col("embedding"), encode_query(query))
         )
     # the cut needs a TOTAL order: bit-identical scores (duplicate
     # chunks) straddling rank k would otherwise pick partition-order

@@ -275,22 +275,23 @@ def ivf_stored_topk(
     the driver (identical to ivf_kmeans_topk's, so results match the
     in-plan operator bit-for-bit); the scan reads only the probed
     cluster partitions (PartitionFilters, not a post-scan filter).
-    Scores use the sequential zip_with/aggregate cosine rounded at 6
-    with id tiebreaks — the same contract the python oracle replicates.
+    Scores are the sequential-fold cosine rounded at 6 with id
+    tiebreaks — the same contract the python oracle replicates (the r7
+    Arrow fold UDF is bit-identical to the zip_with/aggregate HOF,
+    tests/test_vector_fold.py).
     """
-    from sema_spark.functions.vector import cosine
+    from sema_spark.functions.vector import cosine_literal_fold
 
     cents = load_centroids(spark, index_dir)
     q = np.asarray(qvec, dtype=np.float64)
     dist = ((cents - q[None, :]) ** 2).sum(axis=1)
     probe = [int(x) for x in np.argsort(dist, kind="stable")[:probes]]
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
     return (
         spark.read.parquet(f"{index_dir}/vectors")
         .where(F.col("cluster").isin(probe))
         .select(
             "vec_id",
-            F.round(cosine(F.col("embedding"), qlit), 6).alias("score"),
+            F.round(cosine_literal_fold(F.col("embedding"), qvec), 6).alias("score"),
         )
         .where(F.col("score").isNotNull())
         .orderBy(F.desc("score"), F.col("vec_id"))
@@ -386,16 +387,16 @@ def lsh_stored_topk(
     driver-side via the SHARED :func:`similarity.probe_buckets` (so
     results equal the in-plan ann_lsh_topk by construction), then a
     partition-pruned scan of only those buckets with exact cosine
-    re-rank inside."""
-    from sema_spark.functions.vector import cosine
-    from sema_spark.operators.similarity import _qlit, probe_buckets
+    re-rank inside (fold UDF — bit-identical to the HOF)."""
+    from sema_spark.functions.vector import cosine_literal_fold
+    from sema_spark.operators.similarity import probe_buckets
 
     dim, num_bits = _lsh_meta(index_dir)
     buckets = probe_buckets([float(x) for x in qvec], dim, num_bits, probes)
     return (
         spark.read.parquet(f"{index_dir}/vectors")
         .where(F.col("bucket").isin(buckets))
-        .select("vec_id", F.round(cosine(F.col("embedding"), _qlit(qvec)), 6).alias("score"))
+        .select("vec_id", F.round(cosine_literal_fold(F.col("embedding"), qvec), 6).alias("score"))
         .orderBy(F.desc("score"), F.col("vec_id"))
         .limit(k)
     )
@@ -439,12 +440,15 @@ def _prep_docs(docs: DataFrame) -> DataFrame:
 
 
 def _chunk_rows(docs_with_sha: DataFrame, gen: int) -> DataFrame:
-    from sema_spark.functions.vector import l2_norm
+    # l2_norm_fold: bit-identical to the l2_norm HOF
+    # (tests/test_vector_fold.py) — indexes written by either path hold
+    # the same bytes, so old and new indexes stay interchangeable
+    from sema_spark.functions.vector import l2_norm_fold
     from sema_spark.operators.chunker import chunk_and_embed
 
     return (
         chunk_and_embed(docs_with_sha, carry=("content_sha",))
-        .withColumn("emb_norm", l2_norm(F.col("embedding")))
+        .withColumn("emb_norm", l2_norm_fold(F.col("embedding")))
         .withColumn("_gen", F.lit(int(gen)))
     )
 
