@@ -214,3 +214,25 @@ def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
         F.lit(0),
         lambda acc, x: acc + x,
     ) / F.size(sig_a)
+
+
+def estimated_jaccard_arrow(sig_a: Column, sig_b: Column) -> Column:
+    """Arrow-batched :func:`estimated_jaccard` — VALUE-IDENTICAL (the
+    agreement count is an exact integer, so no summation-order concern
+    exists, and count/size is the same int/int→double quotient the HOF
+    form produces; asserted in tests/test_minhash_paths.py).  The HOF
+    form is 64 interpreted lambda evaluations per pair — the measured
+    hot half of the star-edge verify at sf1.0."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _est(sa, sb):
+        if len(sa) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(sa.map(lambda x: np.asarray(x, dtype=np.int64)))
+        B = np.stack(sb.map(lambda x: np.asarray(x, dtype=np.int64)))
+        return pd.Series((A == B).sum(axis=1) / A.shape[1])
+
+    return _est(sig_a, sig_b)

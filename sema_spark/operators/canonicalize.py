@@ -99,8 +99,17 @@ def _driver_cc(spark, e: DataFrame) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    out = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(out, "id string, component string")
+    import pandas as pd
+
+    # Arrow path back up (r7): createDataFrame over a pandas frame rides
+    # spark.sql.execution.arrow.pyspark.enabled — the list-of-tuples
+    # form pickled every row through the RDD path (measured seconds at
+    # 10^5 nodes, the dominant cost of the driver CC tier)
+    nodes = list(parent)
+    return spark.createDataFrame(
+        pd.DataFrame({"id": nodes, "component": [find(n) for n in nodes]}),
+        schema="id string, component string",
+    )
 
 
 def connected_components(

@@ -37,6 +37,25 @@ def chunk_python(content: str) -> list[tuple[int, int, int, str]]:
     b = content.encode("utf-8")
     if len(b) < MIN_CHUNK_SIZE:
         return out
+    if len(b) <= CHUNK_SIZE:
+        # r7 fast path, value-identical to the walk below for a file
+        # that fits one window (most corpus files): chunk 0 is the whole
+        # file (end == safe_end == n, newline snap skipped), then the
+        # reference's overlap quirk (processor.rs:72, test_exactly_1000_chars)
+        # re-enters at the char-boundary-snapped n-OVERLAP and emits the
+        # tail as chunk 1 whenever that start is > 0 — after which
+        # next_start equals start and the walk ends.
+        n = len(b)
+        out.append((0, 1, 1 + b.count(b"\n"), content))
+        tail_start = max(n - OVERLAP_SIZE, 0)
+        while tail_start < n and not _is_char_boundary(b, tail_start):
+            tail_start += 1
+        if tail_start > 0:
+            tail = b[tail_start:]
+            if len(tail) >= MIN_CHUNK_SIZE:
+                sl = b.count(b"\n", 0, tail_start) + 1
+                out.append((1, sl, sl + tail.count(b"\n"), tail.decode("utf-8")))
+        return out
     start = 0
     chunk_id = 0
     n = len(b)

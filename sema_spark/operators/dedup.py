@@ -35,7 +35,7 @@ from pyspark.sql.types import ArrayType, LongType
 from sema_spark.functions.minhash import (
     char_shingles,
     choose_bands,
-    estimated_jaccard,
+    estimated_jaccard_arrow,
     explode_bands,
     tokenize,
     with_minhash,
@@ -161,7 +161,7 @@ def minhash_candidate_pairs(
     pairs = (
         cand.join(sig.select(F.col("id").alias("a"), F.col("mh_sig").alias("sig_a")), "a")
         .join(sig.select(F.col("id").alias("b"), F.col("mh_sig").alias("sig_b")), "b")
-        .withColumn("est_jaccard", estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .withColumn("est_jaccard", estimated_jaccard_arrow(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
@@ -232,7 +232,7 @@ def minhash_dup_edges(
     return (
         edges.join(sig.select(F.col("id").alias("hub"), F.col("mh_sig").alias("sig_a")), "hub")
         .join(sig.select(F.col("id").alias("id"), F.col("mh_sig").alias("sig_b")), "id")
-        .withColumn("est_jaccard", estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .withColumn("est_jaccard", estimated_jaccard_arrow(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("est_jaccard") >= threshold)
         .select(F.col("hub").alias("a"), F.col("id").alias("b"), "est_jaccard")
     )
@@ -590,7 +590,18 @@ def _ngram_bitmap_pairs(
     grams, ``u`` their count.  Builds (id, sz, w0..w{W-1}) bitmaps and
     popcount-verifies every raw band pair; duplicate band pairs are
     verified redundantly and deduplicated only after the threshold
-    filter, when they number in the hundreds."""
+    filter, when they number in the hundreds.
+
+    r7 restructure (guide §2.4 "remove shuffles outright"): the bitmap
+    RIDES the capped band rows into the self-join instead of joining
+    onto the pair stream afterwards.  The r6 shape probed two hash
+    relations per raw pair — at sf1.0 the capped buckets saturate and
+    the raw stream is ~110M pairs (measured), so those two joins were
+    the dominant cost; carrying ⌈u/64⌉+2 longs per BAND row (~800k
+    rows) costs a few MB of shuffle and makes the verify a pure
+    stream: join → popcount → filter, no further exchanges.  Candidate
+    generation (banding, cap, a<b) is byte-identical, so the output
+    multiset is unchanged."""
     n_words = (u + 63) // 64
     # deterministic dictionary: rank by gram; ≤ max_universe rows, so a
     # single-partition window is fine at any corpus scale
@@ -611,26 +622,46 @@ def _ngram_bitmap_pairs(
             ],
         )
     )
-    _, raw = _lsh_raw_band_pairs(
-        gsets, "id", "gs", threshold * 0.78, max_bucket, False, "xxhash64",
+    # band rows identical to _lsh_raw_band_pairs (same with_minhash
+    # parameters, same id-ordered cap) — only the carried payload differs
+    mh = with_minhash(
+        _spread(gsets.select(F.col("id"), F.col("gs").alias("t")), "id"),
+        text_col="t",
+        shingle_words=False,
+        bands=choose_bands(threshold * 0.78),
+        base="xxhash64",
         tokens_ready=True,
+    ).select("id", "mh_bands")
+    bands = explode_bands(mh, ["id"])
+    cap = Window.partitionBy("band", "bh").orderBy("id")
+    # broadcast the per-doc bitmap table when it fits the session budget
+    # (it is (2+W) longs per doc); past that, a plain id join — the
+    # same adaptive dial as embedding_dup_pairs' scoring path
+    bm_side = (
+        F.broadcast(bm)
+        if bm.count() * (2 + n_words) * 8 <= _broadcast_budget(gsets.sparkSession)
+        else bm
     )
-    ba = bm.select(
-        F.col("id").alias("a"),
-        F.col("sz").alias("sza"),
+    capped = materialize(
+        bands.withColumn("_rn", F.row_number().over(cap))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+        .join(bm_side, "id")
+    )
+    la = capped.select(
+        "band", "bh", F.col("id").alias("a"), F.col("sz").alias("sza"),
         *[F.col(f"w{w}").alias(f"_a{w}") for w in range(n_words)],
     )
-    bb = bm.select(
-        F.col("id").alias("b"),
-        F.col("sz").alias("szb"),
+    rb = capped.select(
+        "band", "bh", F.col("id").alias("b"), F.col("sz").alias("szb"),
         *[F.col(f"w{w}").alias(f"_b{w}") for w in range(n_words)],
     )
     inter = F.lit(0)
     for w in range(n_words):
         inter = inter + F.bit_count(F.col(f"_a{w}").bitwiseAND(F.col(f"_b{w}")))
     return (
-        raw.join(ba, "a")
-        .join(bb, "b")
+        la.join(rb, on=["band", "bh"])
+        .filter(F.col("a") < F.col("b"))
         .withColumn("_i", inter)
         .withColumn(
             "jaccard",
@@ -647,6 +678,20 @@ def _ngram_bitmap_pairs(
 
 
 # ---------------------------------------------------------- embedding cosine
+def _broadcast_budget(spark) -> int:
+    """Bytes the vector table may occupy to qualify for broadcast-matrix
+    scoring — the session's autoBroadcastJoinThreshold (the same dial
+    that governs every other broadcast-vs-shuffle decision), floored at
+    the 10 MB Spark default when unparsable."""
+    import re
+
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    m = re.fullmatch(r"(\d+)([kmg]?)b?", raw.lower().strip())
+    if not m:
+        return 10 * 1024 * 1024
+    return int(m.group(1)) * {"": 1, "k": 2**10, "m": 2**20, "g": 2**30}[m.group(2)]
+
+
 _PLANES_SEED = 1234
 
 
@@ -688,11 +733,24 @@ def embedding_dup_pairs(
     sketch bits via bit-rotation keys to boost recall.
 
     Shuffle discipline (mirrors minhash_candidate_pairs): the band
-    self-join and pair dedup run on SLIM (id, band, key) rows — the
-    embedding array never enters the exploded-band shuffle (round 1
-    pushed 4 copies of every vector through it and ran distinct() over
-    float-array rows); vectors rejoin by id only for the deduped
-    candidate pairs."""
+    self-join runs on SLIM (id, band, key) rows — the embedding array
+    never enters the exploded-band shuffle (round 1 pushed 4 copies of
+    every vector through it and ran distinct() over float-array rows).
+
+    r7 scoring path (guide §8 "decide with small rows, move big rows
+    once", §3.1 broadcast-vs-shuffle): when the whole vector table fits
+    the session's broadcast budget, the candidate pairs are scored by a
+    BROADCAST-MATRIX lookup UDF — the (a, b) id pairs stay two longs
+    wide and the vectors ship ONCE per executor instead of once per
+    pair (the r6 shape shuffled ~2 vector copies per candidate through
+    two id joins: measured 15.2M candidate pairs × 2×64 floats ≈ 8 GB
+    of vector traffic at sf1.0 — 12.4s of the query).  The pre-scoring
+    pair ``distinct`` is dropped on this path: multi-band duplicates
+    are scored redundantly (cheap against the broadcast matrix) and
+    deduplicated AFTER the threshold filter, when they number in the
+    dozens — same output multiset, the cosine is identical per copy.
+    Tables past the broadcast budget keep the r6 join path (at that
+    scale the dedup-then-join trade wins again)."""
     sk = hyperplane_sketch(dim, num_bits)
     base = (
         _spread(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id")
@@ -705,15 +763,43 @@ def embedding_dup_pairs(
         l.join(r, on=["band", "key"])
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .distinct()
     )
+    spark = df.sparkSession
+    n_vecs = base.count()  # base is materialized — a cheap metadata-ish job
+    if n_vecs * dim * 8 <= _broadcast_budget(spark):
+        pdf = base.select("id", "v").toPandas()
+        ids = pdf["id"].to_numpy()
+        # same conversion cosine_arrow performs: asarray(float64) row-wise
+        M = np.stack(pdf["v"].map(lambda x: np.asarray(x, dtype=np.float64)))
+        order = np.argsort(ids, kind="stable")
+        bc = spark.sparkContext.broadcast((ids[order], M[order]))
+
+        @pandas_udf("double")
+        def cos_lookup(a: pd.Series, b: pd.Series) -> pd.Series:
+            sorted_ids, mat = bc.value
+            # vectorized id→row resolution (a dict .map here was measured
+            # as the batch bottleneck at ~16M candidate pairs)
+            ia = np.searchsorted(sorted_ids, a.to_numpy())
+            ib = np.searchsorted(sorted_ids, b.to_numpy())
+            A, B = mat[ia], mat[ib]
+            # EXACT replica of cosine_arrow's arithmetic (same dtypes,
+            # same pairwise axis-1 sums, same zero-norm NULL handling)
+            num = (A * B).sum(axis=1)
+            den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            out = np.where(den > 0, num / np.where(den > 0, den, 1.0), np.nan)
+            return pd.Series(out).where(den > 0, other=None)
+
+        return (
+            cand.withColumn("cos", cos_lookup("a", "b"))
+            .filter(F.col("cos") >= threshold)
+            .dropDuplicates(["a", "b"])
+            .select("a", "b", F.round("cos", 6).alias("cos"))
+        )
     vec = base.select("id", "v")
     return (
-        cand.join(vec.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
+        cand.distinct()
+        .join(vec.select(F.col("id").alias("a"), F.col("v").alias("va")), "a")
         .join(vec.select(F.col("id").alias("b"), F.col("v").alias("vb")), "b")
-        # Arrow cosine: the blocked candidate set is bulk (random 8-bit
-        # band collisions alone are ~N²/256 pairs) — interpreted HOF
-        # cosine was 8s of this query's 8.5s at sf0.1
         .withColumn("cos", cosine_arrow("va", "vb"))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 6).alias("cos"))

@@ -26,6 +26,13 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # r7 (guide §3.1/§9): let the planner pick shuffled-hash join when
+    # its size conditions hold — the LSH band self-joins build small
+    # per-partition hash tables and skip SMJ's sorts (A/B at sf1.0:
+    # dedup_minhash 4.1→3.3s, embedding_dedup_lsh 4.1→3.4s, ngram
+    # 7.7→7.2s).  Not local-mode-specific; AQE still splits skewed
+    # partitions before the join builds.
+    "spark.sql.join.preferSortMergeJoin": "false",
     # Parquet scan sizing: 128 MB splits keep ~100TB / 1000 executors at
     # a healthy ~800k tasks; at sandbox scale it's irrelevant but harmless.
     "spark.sql.files.maxPartitionBytes": "134217728",

@@ -81,3 +81,57 @@ def test_simhash_paths_value_identical(spark, docs):
     for r in out:
         assert r.hof == r.arrow, r.id
         assert len(r.arrow) == 60 and set(r.arrow) <= {"0", "1"}
+
+
+def test_estimated_jaccard_arrow_value_identical(spark):
+    """r7: the Arrow agreement-rate UDF must equal the HOF fold exactly
+    (integer agreement count / size — no fp-order freedom exists)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sema_spark.functions.minhash import estimated_jaccard, estimated_jaccard_arrow
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(200):
+        a = [rng.randrange(0, 5) for _ in range(64)]
+        b = [x if rng.random() < 0.6 else rng.randrange(0, 5) for x in a]
+        rows.append((i, a, b))
+    df = spark.createDataFrame(rows, "id long, a array<bigint>, b array<bigint>")
+    got = df.select(
+        "id",
+        estimated_jaccard(F.col("a"), F.col("b")).alias("hof"),
+        estimated_jaccard_arrow(F.col("a"), F.col("b")).alias("arrow"),
+    ).collect()
+    for r in got:
+        assert r.hof == r.arrow, r
+
+
+def test_embedding_dup_pairs_broadcast_equals_join_path(spark):
+    """r7: the broadcast-matrix scoring path must produce the identical
+    pair set and identical rounded cosines as the join path (forced by
+    an autoBroadcastJoinThreshold the vector table cannot fit)."""
+    import random
+
+    from sema_spark.operators.dedup import embedding_dup_pairs
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    # planted near-dups
+    rows += [(1000 + i, [x * 1.001 for x in rows[i][1]]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fast = {
+        (r.a, r.b): r.cos
+        for r in embedding_dup_pairs(df, dim=16, threshold=0.95).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        slow = {
+            (r.a, r.b): r.cos
+            for r in embedding_dup_pairs(df, dim=16, threshold=0.95).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert fast == slow and len(fast) >= 10
