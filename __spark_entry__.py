@@ -523,6 +523,9 @@ def q_events_windowed_agg(spark, sf):
     # The FINAL column is cast to double (one exact, correctly-rounded
     # conversion) because a DecimalType output can't hash-match the
     # driver's DuckDB pandas path (round-2 failure).
+    # note (r7): a _spread here was A/B'd and REJECTED — the exchange of
+    # the full 1M-row event stream costs what the parallel partial agg
+    # saves (map-side partial aggregation already bounds the shuffle)
     return (
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
         .agg(

@@ -327,9 +327,52 @@ def simhash_from_hex_udf(num_bits: int = SIMHASH_BITS):
     return pandas_udf(_impl, StringType())
 
 
+# per-worker token→60-bit-hash memo for simhash_arrow: the token sha is
+# a pure function and corpora repeat a small vocabulary, so one
+# hashlib call per DISTINCT token replaces one interpreted JVM sha2 per
+# token OCCURRENCE (the r7-measured remaining cost of dedup_simhash).
+# Bounded: cleared when it exceeds 1M entries (pathological vocabularies)
+_SIMHASH_TOKEN_MEMO: dict[str, int] = {}
+
+
+def simhash_tokens_udf(num_bits: int = SIMHASH_BITS):
+    """token array → simhash bit string, hashing tokens in Python with a
+    per-worker memo.  VALUE-IDENTICAL to :func:`simhash` /
+    :func:`simhash_arrow` (hashlib sha256 hex == JVM sha2 hex; the
+    first 15 hex chars are the same 60-bit value — asserted in
+    tests/test_minhash_paths.py)."""
+    import hashlib
+
+    from pyspark.sql.types import StringType
+
+    def sh_one(tokens) -> str:
+        if tokens is None or len(tokens) == 0:
+            return "0" * num_bits
+        memo = _SIMHASH_TOKEN_MEMO
+        if len(memo) > 1_000_000:
+            memo.clear()
+        vals = []
+        for t in tokens:
+            v = memo.get(t)
+            if v is None:
+                v = int(hashlib.sha256(t.encode("utf-8")).hexdigest()[:15], 16)
+                memo[t] = v
+            vals.append(v)
+        h = np.array(vals, dtype=np.uint64)
+        bits = np.unpackbits(h.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
+        sums = (2 * bits[:, 64 - num_bits :].astype(np.int64) - 1).sum(axis=0)
+        return "".join("1" if v > 0 else "0" for v in sums)
+
+    def _impl(s):
+        return s.map(sh_one)
+
+    return pandas_udf(_impl, StringType())
+
+
 def simhash_arrow(col, num_bits: int = SIMHASH_BITS):
-    """Fast-path simhash: one JVM sha256 pass + numpy sign-sum."""
-    return simhash_from_hex_udf(num_bits)(_token_hex15(col))
+    """Fast-path simhash: tokenize JVM-side, per-distinct-token sha256
+    via the memoized Python hasher, numpy sign-sum."""
+    return simhash_tokens_udf(num_bits)(tokenize(col))
 
 
 def hamming_bits(a, b, num_bits: int = SIMHASH_BITS):

@@ -109,13 +109,13 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     that is a drop-in change of the ordering key, noted here and not
     needed at sandbox scale.  AQE handles the residual join skew.
     """
-    from sema_spark.plans.materialize import materialize_lazy
-
-    # lazy cut (r7): e feeds THREE join branches and Catalyst shares no
-    # common subtrees — uncut, the whole upstream (for the word-
-    # adjacency query: an interpreted pair-explode over every document)
-    # executed three times per run
-    e = materialize_lazy(
+    # NO materialize cut here — measured both ways in r7: although e
+    # feeds three join branches, its distinct ends in an Exchange and
+    # the three branches' exchange subtrees are identical, so
+    # ReuseExchange already computes the upstream (including the
+    # word-pair explode) exactly once; an explicit cut (eager or lazy)
+    # only added checkpoint overhead (2.6s -> 3.1s at sf1.0).
+    e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
