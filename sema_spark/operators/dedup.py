@@ -93,12 +93,19 @@ def _lsh_raw_band_pairs(
     tokens_ready: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared LSH front half: ``(mh, raw_pairs)`` where raw_pairs is the
-    capped band self-join output ``(a, b)`` with a < b, NOT yet
-    deduplicated across bands (a pair repeats once per agreeing band)
-    and NOT yet estimate-verified.  Callers choose their own
-    verification tier: minhash_candidate_pairs dedups then est-filters;
-    ngram_jaccard_pairs' small-universe path verifies exactly on the
-    raw stream (verification there is cheaper than the pair dedup)."""
+    union over band buckets of within-bucket pair cliques (a < b,
+    capped members per bucket), NOT yet deduplicated across buckets and
+    NOT yet estimate-verified.
+
+    r7 NEGATIVE RESULT, kept as the r6 shape on measurement: a
+    distinct-bucket rewrite (collapse capped buckets by sorted member
+    list, enumerate each distinct clique once) was built on the theory
+    that the b bands repeat near-identical member sets b times — but
+    per-band hash collisions make most member sets DIFFER across
+    bands, so the dedup saved little while the clique join collapsed
+    onto few keys (ngram sf1.0: 7.2s → 12.5s; + a salted variant:
+    33s).  The per-(band, bh) self-join below spreads pair generation
+    across 16×#buckets keys and remains the measured best."""
     # materialize the signatures ONCE (the expensive vectorized hash
     # pipeline), then band/join on slim (id, band, bh) rows only — the
     # 64-long signature array never enters the self-join shuffle
@@ -635,16 +642,11 @@ def _ngram_bitmap_pairs(
     verified redundantly and deduplicated only after the threshold
     filter, when they number in the hundreds.
 
-    r7 restructure (guide §2.4 "remove shuffles outright"): the bitmap
-    RIDES the capped band rows into the self-join instead of joining
-    onto the pair stream afterwards.  The r6 shape probed two hash
-    relations per raw pair — at sf1.0 the capped buckets saturate and
-    the raw stream is ~110M pairs (measured), so those two joins were
-    the dominant cost; carrying ⌈u/64⌉+2 longs per BAND row (~800k
-    rows) costs a few MB of shuffle and makes the verify a pure
-    stream: join → popcount → filter, no further exchanges.  Candidate
-    generation (banding, cap, a<b) is byte-identical, so the output
-    multiset is unchanged."""
+    r7: the raw stream now comes from DISTINCT-BUCKET clique generation
+    (see :func:`_lsh_raw_band_pairs` — 109.5M → ~8M pairs at sf1.0), so
+    the two bitmap probe joins run over an order of magnitude fewer
+    rows; the bitmap table broadcasts when it fits the session budget
+    (the same adaptive dial as embedding_dup_pairs' scoring path)."""
     n_words = (u + 63) // 64
     # deterministic dictionary: rank by gram; ≤ max_universe rows, so a
     # single-partition window is fine at any corpus scale
@@ -665,46 +667,31 @@ def _ngram_bitmap_pairs(
             ],
         )
     )
-    # band rows identical to _lsh_raw_band_pairs (same with_minhash
-    # parameters, same id-ordered cap) — only the carried payload differs
-    mh = with_minhash(
-        _spread(gsets.select(F.col("id"), F.col("gs").alias("t")), "id"),
-        text_col="t",
-        shingle_words=False,
-        bands=choose_bands(threshold * 0.78),
-        base="xxhash64",
+    _, raw = _lsh_raw_band_pairs(
+        gsets, "id", "gs", threshold * 0.78, max_bucket, False, "xxhash64",
         tokens_ready=True,
-    ).select("id", "mh_bands")
-    bands = explode_bands(mh, ["id"])
-    cap = Window.partitionBy("band", "bh").orderBy("id")
-    # broadcast the per-doc bitmap table when it fits the session budget
-    # (it is (2+W) longs per doc); past that, a plain id join — the
-    # same adaptive dial as embedding_dup_pairs' scoring path
+    )
     bm_side = (
-        F.broadcast(bm)
+        (lambda d: F.broadcast(d))
         if bm.count() * (2 + n_words) * 8 <= _broadcast_budget(gsets.sparkSession)
-        else bm
+        else (lambda d: d)
     )
-    capped = materialize(
-        bands.withColumn("_rn", F.row_number().over(cap))
-        .filter(F.col("_rn") <= max_bucket)
-        .drop("_rn")
-        .join(bm_side, "id")
-    )
-    la = capped.select(
-        "band", "bh", F.col("id").alias("a"), F.col("sz").alias("sza"),
+    ba = bm_side(bm.select(
+        F.col("id").alias("a"),
+        F.col("sz").alias("sza"),
         *[F.col(f"w{w}").alias(f"_a{w}") for w in range(n_words)],
-    )
-    rb = capped.select(
-        "band", "bh", F.col("id").alias("b"), F.col("sz").alias("szb"),
+    ))
+    bb = bm_side(bm.select(
+        F.col("id").alias("b"),
+        F.col("sz").alias("szb"),
         *[F.col(f"w{w}").alias(f"_b{w}") for w in range(n_words)],
-    )
+    ))
     inter = F.lit(0)
     for w in range(n_words):
         inter = inter + F.bit_count(F.col(f"_a{w}").bitwiseAND(F.col(f"_b{w}")))
     return (
-        la.join(rb, on=["band", "bh"])
-        .filter(F.col("a") < F.col("b"))
+        raw.join(ba, "a")
+        .join(bb, "b")
         .withColumn("_i", inter)
         .withColumn(
             "jaccard",
