@@ -88,9 +88,13 @@ class ParsedQuery:
     Round 6: ``phrase_slops`` carries the ``"a b"~n`` slop per required
     phrase (phrases themselves stay in ``phrases`` so their words keep
     scoring, exactly like zero-slop phrases); ``phrases_not`` carries
-    excluded phrases as (phrase, slop) pairs; ``fuzzy`` now also covers
-    ``-term~n`` exclusions.  Boost on an exclusion parses but is
-    discarded (no scoring clause to multiply — same in tantivy)."""
+    excluded phrases as (phrase, slop) pairs; ``fuzzy_not`` (split out
+    of ``fuzzy`` in r7 — the shared map let a fuzzy EXCLUSION's edit
+    distance silently widen the BM25 tf of the same term scored in
+    another clause, e.g. 'spark -spark~1') carries ``-term~n``
+    exclusion distances, consulted only by the must_not filter.  Boost
+    on an exclusion parses but is discarded (no scoring clause to
+    multiply — same in tantivy)."""
 
     should: tuple[str, ...]
     must: tuple[str, ...]
@@ -102,6 +106,7 @@ class ParsedQuery:
     scoped_not: tuple[tuple[str, str], ...] = ()
     phrase_slops: tuple[tuple[str, int], ...] = ()
     phrases_not: tuple[tuple[str, int], ...] = ()
+    fuzzy_not: tuple[tuple[str, int], ...] = ()
 
     @property
     def scored_terms(self) -> tuple[str, ...]:
@@ -118,6 +123,9 @@ class ParsedQuery:
 
     def fuzzy_of(self, term: str) -> int:
         return dict(self.fuzzy).get(term, 0)
+
+    def fuzzy_not_of(self, term: str) -> int:
+        return dict(self.fuzzy_not).get(term, 0)
 
     def phrase_slop_of(self, phrase: str) -> int:
         return dict(self.phrase_slops).get(phrase, 0)
@@ -173,6 +181,7 @@ def parse_query(q: str) -> ParsedQuery:
     phrases: list[str] = []
     boosts: dict[str, float] = {}
     fuzzy: dict[str, int] = {}
+    fuzzy_not: dict[str, int] = {}
     scoped: list[tuple[str, str]] = []
     scoped_not: list[tuple[str, str]] = []
     required_slop: dict[str, int] = {}
@@ -230,17 +239,20 @@ def parse_query(q: str) -> ParsedQuery:
         for w in words(tok):
             target.append(w)
             # boost on an exclusion parses but is inert (nothing to
-            # score); fuzzy on an exclusion widens the drop (r6)
+            # score); fuzzy on an exclusion widens the DROP only — it
+            # lands in fuzzy_not, never in the scoring map (r7 fix: the
+            # shared map let '-spark~1' widen a scored 'spark' tf)
             if boost is not None and target is not must_not:
                 boosts[w] = boost
             if dist is not None:
-                fuzzy[w] = dist
+                (fuzzy_not if target is must_not else fuzzy)[w] = dist
     return ParsedQuery(
         tuple(should), tuple(must), tuple(must_not), tuple(phrases),
         tuple(boosts.items()), tuple(fuzzy.items()), tuple(scoped),
         tuple(scoped_not),
         tuple((ph, s) for ph, s in required_slop.items() if s),
         tuple(phrases_not.items()),
+        tuple(fuzzy_not.items()),
     )
 
 
@@ -348,7 +360,7 @@ def bm25_search(
         else:
             keep = keep & ~_has_phrase(toks, ph.split(" "))
     for t in pq.must_not:
-        d = pq.fuzzy_of(t)  # fuzzy exclusion widens the drop (r6)
+        d = pq.fuzzy_not_of(t)  # fuzzy exclusion widens the drop (r6/r7)
         if d:
             keep = keep & (_tf_count(toks, t, d) == 0)
         else:

@@ -234,12 +234,25 @@ def _run_edges_stage(
             .collect()[0][0]
         )
         if old_commit is not None:
-            old_rows = spark.read.parquet(f"{base}/{STAGE_NODES}/data").filter(
-                F.col("run_id") == old_commit
-            )
-            if old_rows.limit(1).count() > 0:
-                old_cmap = old_rows.select("entity_id", "canonical_id")
-                mode = "delta"
+            # r7 ADVICE fix: tolerant read — an absent or zero-row nodes
+            # data dir (emptied-then-repopulated corpus whose anchor
+            # survives) raised AnalysisException here and failed the
+            # whole run instead of honoring the 'pruned history ⇒ fall
+            # back to full' contract
+            from pyspark.errors import AnalysisException
+
+            from sema_spark.sources.checkpoint import _ABSENT_OR_EMPTY
+
+            try:
+                old_rows = spark.read.parquet(f"{base}/{STAGE_NODES}/data").filter(
+                    F.col("run_id") == old_commit
+                )
+                if old_rows.limit(1).count() > 0:
+                    old_cmap = old_rows.select("entity_id", "canonical_id")
+                    mode = "delta"
+            except AnalysisException as e:
+                if not any(c in str(e) for c in _ABSENT_OR_EMPTY):
+                    raise  # corruption/permissions must propagate
 
     if mode == "delta":
         new_cmap = nodes.select("entity_id", F.col("canonical_id").alias("_new_cid"))

@@ -148,6 +148,14 @@ def build_ivf_index(
         cents, src = kmeans_fit(df, n_clusters, iterations, id_col, vec_col)
     with _maintenance_lock(index_dir, wait=True):
         _write_centroids(index_dir, cents)
+        # r7 ADVICE fix: the inflight marker brackets the REBUILD too —
+        # a crash between the vectors overwrite and the sidecar rewrite
+        # used to leave a stale sidecar with _SUCCESS that _indexed_ids
+        # trusted, so appends anti-joined the wrong membership set and
+        # skipped vectors forever; with the marker, the next contact
+        # reconciles the sidecar from the payload.
+        marker = f"{index_dir}/.append-inflight"
+        open(marker, "w").close()
         (
             src.select(
                 F.col("_id").alias("vec_id"),
@@ -159,6 +167,7 @@ def build_ivf_index(
             .parquet(f"{index_dir}/vectors")
         )
         _write_ids_sidecar(df.sparkSession, index_dir)
+        os.remove(marker)
     return cents
 
 
@@ -338,6 +347,9 @@ def build_lsh_stored_index(
     spark = df.sparkSession
     with _maintenance_lock(index_dir, wait=True):
         canon = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+        # same rebuild-crash marker discipline as build_ivf_index (r7)
+        marker = f"{index_dir}/.append-inflight"
+        open(marker, "w").close()
         (
             build_lsh_index(canon, dim=dim, num_bits=num_bits)
             .write.mode("overwrite")
@@ -347,6 +359,7 @@ def build_lsh_stored_index(
         with open(f"{index_dir}/lsh_meta.json", "w") as f:
             json.dump({"dim": dim, "num_bits": num_bits}, f)
         _write_ids_sidecar(spark, index_dir)
+        os.remove(marker)
 
 
 def _lsh_meta(index_dir: str) -> tuple[int, int]:

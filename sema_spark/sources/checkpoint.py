@@ -698,11 +698,23 @@ def compact(spark: SparkSession, base: str, stage: str) -> str:
         # legitimately-empty stage (zero-row runs write no files): nothing
         # to rewrite and no schema to infer — no-op
         return rid
-    # a stage with ANY per-file rows is incremental — even if a LEGACY
-    # snapshot commit mark lingers from before a storage-format
-    # migration: preferring the mark here would rewrite the stage back
-    # to the stale snapshot and GC the live increments (r6 review)
-    has_file_rows = file_rows(read_checkpoint_log(spark, base, stage)).limit(1).count() > 0
+    # a stage with ANY new-format row — per-file rows OR a params
+    # marker — is incremental, even if a LEGACY snapshot commit mark
+    # lingers from before a storage-format migration: preferring the
+    # mark would rewrite the stage back to the stale snapshot and GC
+    # the live increments (r6 review).  The predicate is the SAME one
+    # _read_incremental_or_legacy serves reads with (r7 ADVICE fix —
+    # file_rows() excludes the params marker, so an emptied corpus
+    # migrated over a legacy base, whose whole new-format state IS one
+    # params row, was compacted back to the stale snapshot and its
+    # params row GC'd: deleted data served forever)
+    has_new_rows = (
+        read_checkpoint_log(spark, base, stage)
+        .filter(F.col("repo") != COMMIT_MARK)
+        .limit(1)
+        .count()
+        > 0
+    )
     # preserve the stage's partition layout below run_id — writing a
     # different depth would make the directory unreadable mid-GC
     extra_parts = _partition_cols_of(spark, _data_dir(base, stage))
@@ -710,7 +722,7 @@ def compact(spark: SparkSession, base: str, stage: str) -> str:
         p for p in _list_children(spark, _data_dir(base, stage)) if f"run_id={rid}" not in p
     ]
     old_ckpt = list(_list_children(spark, _ckpt_dir(base, stage)))
-    if last is not None and not has_file_rows:  # snapshot stage
+    if last is not None and not has_new_rows:  # snapshot stage
         live = read_snapshot(spark, base, stage).withColumn("run_id", F.lit(rid))
         ckpt_new = spark.createDataFrame(
             [(stage, COMMIT_MARK, COMMIT_MARK, last.content_sha, rid)], _CKPT_RUN_SCHEMA
@@ -740,8 +752,14 @@ def compact(spark: SparkSession, base: str, stage: str) -> str:
     live.write.mode("append").partitionBy("run_id", *extra_parts).parquet(_data_dir(base, stage))
     # (2) checkpoint append: the compacted run becomes current
     ckpt_new.write.mode("append").parquet(_ckpt_dir(base, stage))
-    # (3) GC the superseded files (anything that existed before (2))
+    # (3) GC the superseded files (anything that existed before (2)) —
+    # CHECKPOINT rows first, data dirs second (r7 ADVICE fix): a crash
+    # mid-GC then leaves dangling DATA (a harmless orphan later GC'd)
+    # instead of dangling LOG rows whose data is gone — the delta
+    # path's trust check (logged_keys ⊇ gone) would accept those rows
+    # while stage_rows_for_keys returns nothing, silently committing an
+    # incomplete old-side alias delta
     fs, hpath = _fs(spark, base)
-    for p in old_data + old_ckpt:
+    for p in old_ckpt + old_data:
         fs.delete(hpath(p), True)
     return rid

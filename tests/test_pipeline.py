@@ -401,6 +401,17 @@ def test_legacy_base_emptied_corpus_serves_empty_not_stale(spark, tmp_path):
     assert P.read_edges(spark, base).count() == 0
     # and the state is now stable
     assert not P.run_pipeline(spark, empty, base, incremental_link=True).any_work
+    # r7 ADVICE fix: compaction must honor the params-only migration —
+    # file_rows() excludes the params marker, so the old branch
+    # predicate rewrote the stale pre-deletion snapshot as live and
+    # GC'd the params row (deleted data served forever after compact)
+    from sema_spark.sources.checkpoint import compact
+
+    compact(spark, base, "linked")
+    compact(spark, base, "edges")
+    assert P.read_linked(spark, base).count() == 0
+    assert P.read_edges(spark, base).count() == 0
+    assert not P.run_pipeline(spark, empty, base, incremental_link=True).any_work
 
 
 def test_flagship_who_imports(spark, kg):

@@ -146,7 +146,9 @@ def test_parse_query_phrase_slop_and_exclusion_modifiers():
     assert pq.phrase_slop_of("win agg") == 0
     assert dict(pq.phrases_not) == {"sort key": 0, "a b": 1}
     assert pq.must_not == ("merge", "spark")
-    assert pq.fuzzy_of("merge") == 1
+    # r7 ADVICE fix: exclusion fuzziness lives in fuzzy_not (a shared
+    # map let an exclusion's distance widen the same term's scored tf)
+    assert pq.fuzzy_not_of("merge") == 1 and pq.fuzzy_of("merge") == 0
     assert pq.boost_of("spark") == 1.0  # boost on exclusion is inert
     # excluded phrase words never score
     assert "sort" not in pq.scored_terms and "hash" in pq.scored_terms
@@ -216,3 +218,25 @@ def test_bm25_phrase_slop_and_exclusions(spark):
     )
     out = bm25_search(docs, '"hash join"~2 -"sort key" -vector~1', k=10)
     assert {r.doc_id for r in out.collect()} == {1, 2, 4, 7}
+
+
+def test_fuzzy_exclusion_does_not_widen_scored_tf(spark):
+    """r7 ADVICE fix: a term that is both scored and fuzzy-EXCLUDED in
+    another clause must score with ITS OWN distance (0 here), while the
+    exclusion still drops fuzzy matches."""
+    from sema_spark.operators.search import parse_query
+
+    pq = parse_query("spark -spark~1")
+    assert pq.fuzzy_of("spark") == 0  # scoring tf stays exact
+    assert pq.fuzzy_not_of("spark") == 1  # the drop stays widened
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle"), (2, "sparks shuffle"), (3, "window only")],
+        "doc_id long, text string",
+    )
+    # doc 1 contains the excluded term exactly -> dropped; doc 2 is a
+    # 1-edit fuzzy match of the exclusion -> dropped too; doc 3 has no
+    # scored term -> filtered by any_present.  Empty result, but the
+    # scoring clause must have used distance 0 (no crash, no phantom tf).
+    from sema_spark.operators.search import bm25_search
+
+    assert bm25_search(docs, "spark -spark~1", k=10).count() == 0
