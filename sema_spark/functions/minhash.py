@@ -168,6 +168,56 @@ def signature_from_hashes_udf(num_perm: int = NUM_PERM):
     return pandas_udf(_impl, ArrayType(LongType()))
 
 
+# per-worker token→base-hash memo for the sha base (a pure function;
+# corpora repeat a small vocabulary, so one hashlib call per DISTINCT
+# token replaces one interpreted JVM sha2+conv per token OCCURRENCE —
+# measured the dominant cost of the sha signature stage at sf1.0).
+# Bounded like the simhash memo.
+_SHA_BASE_MEMO: dict[str, int] = {}
+
+
+def signature_from_tokens_sha_udf(num_perm: int = NUM_PERM):
+    """token array → minhash signature with the sha base hash computed
+    in Python under a per-worker distinct-token memo.  VALUE-IDENTICAL
+    to the JVM path: ``int(sha256(t).hexdigest()[:8], 16) % 2^31`` is
+    exactly ``pmod(conv(substring(sha2(t,256),1,8),16,10), 2^31)``
+    (asserted in tests/test_minhash_paths.py), and the permutation grid
+    is the same uint64 arithmetic as signature_from_hashes_udf."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    a_co, b_co = _coefficients(num_perm)
+    A = np.array(a_co, dtype=np.uint64)[:, None]
+    B = np.array(b_co, dtype=np.uint64)[:, None]
+    sentinel = [int(_P)] * num_perm
+
+    def sig_one(tokens) -> list[int]:
+        if tokens is None or len(tokens) == 0:
+            return sentinel
+        memo = _SHA_BASE_MEMO
+        if len(memo) > 1_000_000:
+            memo.clear()
+        vals = []
+        for t in tokens:
+            v = memo.get(t)
+            if v is None:
+                v = int(hashlib.sha256(t.encode("utf-8")).hexdigest()[:8], 16) % _H_SPACE
+                memo[t] = v
+            vals.append(v)
+        h = np.asarray(vals, dtype=np.uint64)[None, :]
+        m = (A * h + B) % _P % _H_SPACE
+        return m.min(axis=1).astype(np.int64).tolist()
+
+    def _impl(s):
+        return s.map(sig_one)
+
+    return pandas_udf(_impl, ArrayType(LongType()))
+
+
 def with_minhash(
     df: DataFrame,
     text_col: str = "content",
@@ -192,7 +242,12 @@ def with_minhash(
     else:
         tokens = tokenize(text_col) if shingle_words else char_shingles(text_col)
     if use_arrow:
-        sig = signature_from_hashes_udf(num_perm)(token_base_hashes(tokens, base))
+        if base == "sha":
+            # r7: the sha base hash moves into the Python batch under a
+            # distinct-token memo (bit-identical — see the UDF)
+            sig = signature_from_tokens_sha_udf(num_perm)(tokens)
+        else:
+            sig = signature_from_hashes_udf(num_perm)(token_base_hashes(tokens, base))
     else:
         sig = minhash_signature(tokens, num_perm, base)
     return df.withColumn("mh_sig", sig).withColumn(

@@ -164,6 +164,37 @@ def minhash_candidate_pairs(
     # without a second exchange)
     n_parts = 4 * df.sparkSession.sparkContext.defaultParallelism
     cand = raw.repartition(n_parts, "a", "b").dropDuplicates()
+    spark = df.sparkSession
+    n_ids = mh.count()  # mh is materialized — cheap
+    from sema_spark.functions.minhash import NUM_PERM
+
+    if n_ids * NUM_PERM * 8 <= _broadcast_budget(spark):
+        # r7 (guide §8): est-verify via a BROADCAST signature matrix —
+        # the r6 shape joined two 64-long signature arrays onto every
+        # deduped pair (~33 GB of shuffle at sf1.0's 32M pairs, 48.5s
+        # measured); the pairs stay two ids wide and the signatures
+        # ship once per executor.  Value-identical: the agreement count
+        # is an exact integer and count/num_perm is the same quotient
+        # (pinned by a forced-budget parity test).
+        pdf = mh.select("id", "mh_sig").toPandas()
+        ids = pdf["id"].to_numpy()
+        SIG = np.stack(pdf["mh_sig"].map(lambda s: np.asarray(s, dtype=np.int64)))
+        order = np.argsort(ids, kind="stable")
+        bc = spark.sparkContext.broadcast((ids[order], SIG[order]))
+
+        @pandas_udf("double")
+        def est_lookup(a: pd.Series, b: pd.Series) -> pd.Series:
+            sorted_ids, sig_m = bc.value
+            ia = np.searchsorted(sorted_ids, a.to_numpy())
+            ib = np.searchsorted(sorted_ids, b.to_numpy())
+            eq = (sig_m[ia] == sig_m[ib]).sum(axis=1)
+            return pd.Series(eq / sig_m.shape[1])
+
+        return (
+            cand.withColumn("est_jaccard", est_lookup("a", "b"))
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("a", "b", "est_jaccard")
+        )
     sig = mh.select("id", "mh_sig")
     pairs = (
         cand.join(sig.select(F.col("id").alias("a"), F.col("mh_sig").alias("sig_a")), "a")
@@ -175,15 +206,65 @@ def minhash_candidate_pairs(
     return pairs
 
 
+def _numeric_cc_losers(spark, pdf: pd.DataFrame) -> np.ndarray:
+    """Component non-minima of an int64 edge list, via vectorized
+    min-label propagation + pointer jumping on the driver.  Labels are
+    indices into the ASCENDING-unique node array, so index minimality
+    IS numeric minimality and the fixpoint label of every node is its
+    component's min — the same survivor the string CC's lexicographic
+    min (over order-preserving encodings) picks.  Each round is a few
+    numpy passes over the edges; dense duplicate graphs converge in 2-3
+    rounds (vs ~60s of distributed CC at 26M edges)."""
+    a = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+    b = pdf.iloc[:, 1].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(lab[ea], lab[eb])
+        new = lab.copy()
+        np.minimum.at(new, ea, m)
+        np.minimum.at(new, eb, m)
+        for _ in range(3):  # pointer jumping (path halving)
+            new = np.minimum(new, new[new])
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    return nodes[lab != np.arange(len(nodes), dtype=np.int64)]
+
+
 def _drop_cc_losers(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Remove every non-survivor of the duplicate-pair graph from df.
 
-    connected_components picks the LEXICOGRAPHIC min string as the
-    representative, so ids are encoded order-preservingly first: offset
-    by 2^63 into unsigned (exact decimal arithmetic — '-' sorts below
-    '0', so raw zero-padding would invert the order of negative ids)
-    then zero-pad to 20 digits.  Otherwise a component {9, 10} would
-    keep 10 and violate the 'numeric min id kept' contract."""
+    r7 fast path: duplicate-pair ids here are NUMERIC, so when the edge
+    list fits the driver budget (int64 pairs are 16 B vs ~0.5 KB of
+    encoded strings — the budget scales accordingly) the components are
+    solved by :func:`_numeric_cc_losers`; equality with the string CC
+    is pinned by tests/test_dedup.py::test_numeric_cc_matches_string_cc.
+
+    String path (bigger graphs): connected_components picks the
+    LEXICOGRAPHIC min string as the representative, so ids are encoded
+    order-preservingly first: offset by 2^63 into unsigned (exact
+    decimal arithmetic — '-' sorts below '0', so raw zero-padding would
+    invert the order of negative ids) then zero-pad to 20 digits.
+    Otherwise a component {9, 10} would keep 10 and violate the
+    'numeric min id kept' contract."""
+    from sema_spark.operators.canonicalize import driver_cc_budget
+
+    spark = df.sparkSession
+    e = pairs.select(F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")).persist()
+    n_edges = e.count()
+    if n_edges <= driver_cc_budget(spark) * 16:
+        pdf = e.toPandas()
+        e.unpersist()
+        losers_arr = _numeric_cc_losers(spark, pdf)
+        if len(losers_arr) == 0:
+            return df
+        losers = spark.createDataFrame(
+            pd.DataFrame({"_loser": losers_arr}), schema="_loser long"
+        )
+        return df.join(losers, df[id_col] == F.col("_loser"), "left_anti")
+    e.unpersist()
     offset = F.lit("9223372036854775808").cast("decimal(20,0)")
     pad = lambda c: F.lpad(
         (F.col(c).cast("decimal(20,0)") + offset).cast("decimal(20,0)").cast("string"), 20, "0"

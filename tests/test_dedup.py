@@ -163,3 +163,83 @@ def test_ngram_two_paths_agree(spark, docs):
     )
     got = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(long_docs, threshold=0.8).collect()}
     assert got == {(0, 1): 1.0}
+
+
+def test_numeric_cc_matches_string_cc(spark):
+    """r7: the numeric min-label driver CC must drop the exact loser set
+    the padded-string connected_components drops (negative ids, chains,
+    cliques, singletons-in-pairs)."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from sema_spark.operators.canonicalize import connected_components
+    from sema_spark.operators.dedup import _numeric_cc_losers
+
+    rng = random.Random(17)
+    edges = [(-5, 3), (3, 9), (100, 101)]  # chain crossing zero + pair
+    nodes = list(range(-50, 200, 7))
+    for _ in range(300):
+        a, b = rng.choice(nodes), rng.choice(nodes)
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    pdf = pd.DataFrame({"a": [a for a, _ in edges], "b": [b for _, b in edges]})
+    fast = set(int(x) for x in _numeric_cc_losers(spark, pdf))
+    offset = F.lit("9223372036854775808").cast("decimal(20,0)")
+    pad = lambda c: F.lpad(
+        (F.col(c).cast("decimal(20,0)") + offset).cast("decimal(20,0)").cast("string"),
+        20,
+        "0",
+    )
+    e = spark.createDataFrame(pdf, "a long, b long")
+    comp = connected_components(e.select(pad("a").alias("a"), pad("b").alias("b")))
+    slow = {
+        int(r[0])
+        for r in comp.filter(F.col("id") != F.col("component"))
+        .select((F.col("id").cast("decimal(20,0)") - offset).cast("long"))
+        .collect()
+    }
+    assert fast == slow and len(fast) > 0
+
+
+def test_sha_signature_memo_path_value_identical(spark):
+    """r7: the memoized-Python sha base path must produce the identical
+    signatures as the JVM sha base (HOF and hash-UDF forms)."""
+    from pyspark.sql import functions as F
+
+    from sema_spark.functions.minhash import minhash_signature, tokenize, with_minhash
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta_{i % 7} gamma DELTA_{i % 3} é中 x") for i in range(40)]
+        + [(99, ""), (100, None)],
+        "id long, content string",
+    )
+    fast = with_minhash(docs, use_arrow=True, base="sha").select("id", "mh_sig")
+    slow = docs.withColumn("mh_sig", minhash_signature(tokenize(F.col("content")), base="sha")).select(
+        "id", "mh_sig"
+    )
+    got = {r.id: r.mh_sig for r in fast.collect()}
+    want = {r.id: r.mh_sig for r in slow.collect()}
+    assert got == want
+
+
+def test_minhash_est_broadcast_equals_join_path(spark):
+    """r7: broadcast-signature est verification must yield identical
+    candidate pairs as the signature-join path (forced by shrinking the
+    broadcast budget)."""
+    from sema_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + ("x" * (i % 4)))
+         for i in range(60)],
+        "id long, text string",
+    )
+    fast = {(r.a, r.b, r.est_jaccard) for r in minhash_candidate_pairs(docs, "id", "text").collect()}
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        slow = {(r.a, r.b, r.est_jaccard) for r in minhash_candidate_pairs(docs, "id", "text").collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert fast == slow and len(fast) > 0
