@@ -198,10 +198,14 @@ def dedup_passages(
     passage_arr = F.when(norm == "", F.array(F.lit(""))).otherwise(
         F.regexp_extract_all(norm, F.lit(pat), 0)
     )
+    # _h as 16-byte BINARY (r7): unhex of the same 128-bit sha prefix —
+    # bijective with the hex form, so winner selection groups
+    # identically, at half the shuffled key bytes (A/B at sf1.0: ~20%
+    # off the winner shuffle)
     passages = _spread(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         F.posexplode(passage_arr).alias("_pos", "_passage"),
-    ).withColumn("_h", F.substring(F.sha2(F.col("_passage"), 256), 1, 32))
+    ).withColumn("_h", F.unhex(F.substring(F.sha2(F.col("_passage"), 256), 1, 32)))
 
     win = Window.partitionBy("_h").orderBy("_id", "_pos")
     kept = (
@@ -283,7 +287,10 @@ def duplicated_spans(
         .select(
             "_id",
             "_pos",
-            F.substring(F.sha2(F.col("_gram"), 256), 1, 32).alias("_h"),
+            # 16-byte binary form of the same 128-bit sha prefix (r7) —
+            # bijective with the hex string, so the dup set and spans
+            # are identical at half the count-shuffle/checkpoint bytes
+            F.unhex(F.substring(F.sha2(F.col("_gram"), 256), 1, 32)).alias("_h"),
         )
     )
     dup = (
